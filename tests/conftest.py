@@ -1,0 +1,22 @@
+"""Test harness config: run all tests on a virtual 8-device CPU mesh.
+
+This is the standard JAX trick for exercising multi-device sharding without a
+cluster (SURVEY.md §4). Must set the env vars before jax initializes.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng_np():
+    return np.random.default_rng(0)
