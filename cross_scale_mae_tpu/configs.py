@@ -75,6 +75,11 @@ class MAEConfig:
     ms_range: tuple[float, float] = (0.25, 0.75)
     ms_aspect_ratio: tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0)
     ms_decoder_loss_reduction: str = "sum"  # "sum" | "mean"
+    # The reference applies ONE torchvision crop to the whole batch
+    # (nn.Sequential(T.RandomResizedCrop), MAE_ViT_MsLd.py:29-35 — batched
+    # call shares get_params). True = stronger per-sample boxes (default);
+    # False = reference batch-shared behavior.
+    ms_per_sample_crop: bool = True
 
     # Loss terms composed on top of the dual-view reconstruction:
     use_le: bool = False        # latent distance loss (MAE_ViT_MsLdLe.py:44)
@@ -92,6 +97,10 @@ class MAEConfig:
     # reference but listed in BASELINE.json's north star).
     use_perceptual: bool = False
     perceptual_weight: float = 1.0
+
+    # Block norm placement: "pre" = timm Block (use_xformers=False path);
+    # "post" mirrors xFormers residual_norm_style="post" (MAE_ViT_Baseline.py:33).
+    residual_norm_style: str = "pre"
 
     # Compute policy (TPU-specific; no reference equivalent).
     compute_dtype: str = "bfloat16"   # activations

@@ -1,0 +1,150 @@
+"""ctypes bindings + on-demand build for the native C++ loader core.
+
+No pybind11 in the image, so the C ABI (loader.cpp) is bound with ctypes.
+The shared library builds lazily on first use (g++ -O3, cached next to the
+source); a missing toolchain or libjpeg degrades gracefully to the Python
+thread-pool loader (data/loader.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "loader.cpp")
+_SO = os.path.join(_DIR, "libcsmae_loader.so")
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def build_library(force: bool = False) -> str | None:
+    """Compile loader.cpp -> libcsmae_loader.so. Returns path or None."""
+    global _build_failed
+    with _lock:
+        if not force and os.path.exists(_SO) and (
+            os.path.getmtime(_SO) >= os.path.getmtime(_SRC)
+        ):
+            return _SO
+        if _build_failed and not force:
+            return None
+        cmd = [
+            "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+            "-pthread", _SRC, "-o", _SO, "-ljpeg",
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+            return _SO
+        except Exception:
+            _build_failed = True
+            return None
+
+
+def get_library():
+    global _lib
+    if _lib is not None:
+        return _lib
+    so = build_library()
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    lib.csmae_loader_create.restype = ctypes.c_void_p
+    lib.csmae_loader_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+    ]
+    lib.csmae_loader_start_epoch.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.csmae_loader_next.restype = ctypes.c_int
+    lib.csmae_loader_next.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.csmae_loader_batches_per_epoch.restype = ctypes.c_int64
+    lib.csmae_loader_batches_per_epoch.argtypes = [ctypes.c_void_p]
+    lib.csmae_loader_failed_count.restype = ctypes.c_int64
+    lib.csmae_loader_failed_count.argtypes = [ctypes.c_void_p]
+    lib.csmae_loader_destroy.argtypes = [ctypes.c_void_p]
+    lib.csmae_decode_jpeg.restype = ctypes.c_int
+    lib.csmae_decode_jpeg.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)
+    ]
+    _lib = lib
+    return lib
+
+
+def decode_jpeg(path: str, canvas: int) -> Optional[np.ndarray]:
+    lib = get_library()
+    if lib is None:
+        return None
+    out = np.empty((canvas, canvas, 3), np.uint8)
+    ok = lib.csmae_decode_jpeg(
+        path.encode(), canvas, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    )
+    return out if ok else None
+
+
+class NativeJpegLoader:
+    """Epoch iterator backed by the C++ worker pool."""
+
+    def __init__(self, lib, handle, batch, canvas, channels):
+        self._lib = lib
+        self._handle = handle
+        self.batch = batch
+        self.canvas = canvas
+        self.channels = channels
+
+    @classmethod
+    def maybe_create(cls, dataset, batch_size: int, loader) -> Optional["NativeJpegLoader"]:
+        # JPEG-backed RGB shuffled datasets only (others fall back to Python).
+        if dataset.in_c != 3 or len(dataset) == 0 or not loader.shuffle:
+            return None
+        if not all(p.lower().endswith((".jpg", ".jpeg")) for p in dataset.paths[:64]):
+            return None
+        lib = get_library()
+        if lib is None:
+            return None
+        n = len(dataset)
+        c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in dataset.paths])
+        labels = np.ascontiguousarray(dataset.labels, np.int32)
+        handle = lib.csmae_loader_create(
+            ctypes.cast(c_paths, ctypes.POINTER(ctypes.c_char_p)),
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n, batch_size, dataset.canvas_size, 3,
+            loader.num_threads, 3, loader.seed, loader.shard_id,
+            loader.num_shards, int(loader.drop_last),
+        )
+        if not handle:
+            return None
+        obj = cls(lib, handle, batch_size, dataset.canvas_size, 3)
+        obj._keepalive = c_paths  # paths are copied in C++, but be safe
+        obj._shuffle = loader.shuffle
+        return obj
+
+    def epoch(self, epoch: int = 0) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        self._lib.csmae_loader_start_epoch(self._handle, epoch)
+        while True:
+            imgs = np.empty((self.batch, self.canvas, self.canvas, self.channels),
+                            np.uint8)
+            labels = np.empty((self.batch,), np.int32)
+            got = self._lib.csmae_loader_next(
+                self._handle,
+                imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+            if got == 0:
+                return
+            yield imgs[:got], labels[:got]
+
+    def __del__(self):
+        try:
+            self._lib.csmae_loader_destroy(self._handle)
+        except Exception:
+            pass

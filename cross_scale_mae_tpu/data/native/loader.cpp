@@ -1,0 +1,319 @@
+// Native data-loading core: threaded JPEG decode + batch assembly.
+//
+// TPU-native replacement for the reference's CPU dataloader workers
+// (torch DataLoader with num_workers=os.cpu_count(), main_pretrain.py:389-394
+// + the PIL/torchvision decode chain, util/datasets.py:199-203) — the
+// reference's #2 hot loop (SURVEY.md §3). Design:
+//
+//   * one index array (path offsets + labels) shared by all workers
+//   * per-epoch Fisher-Yates shuffle (splitmix64/xoshiro) with a
+//     (seed, epoch) key — deterministic, matching the Python fallback
+//   * N pthread workers: libjpeg decode -> box-filtered downscale to the
+//     fixed canvas (uint8, NHWC slot write, no intermediate copies)
+//   * a condition-variable ring of fully-assembled batches; the consumer
+//     (Python) blocks only when decode falls behind
+//
+// Exposed as a C ABI for ctypes (no pybind11 in the image).
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <csetjmp>
+#include <jpeglib.h>
+
+namespace {
+
+// ------------------------------------------------------------------ RNG
+
+static inline uint64_t splitmix64(uint64_t &s) {
+  uint64_t z = (s += 0x9e3779b97f4a7c15ULL);
+  z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+  return z ^ (z >> 31);
+}
+
+// ------------------------------------------------------------- JPEG decode
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  auto *err = reinterpret_cast<JpegErrorMgr *>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Decode a JPEG file into RGB and box-resample into out[h*w*3] (uint8).
+// Uses libjpeg's own DCT scaling (1/2, 1/4, 1/8) to decode near the target
+// size cheaply, then bilinear-resamples the remainder.
+bool decode_jpeg_to_canvas(const char *path, int canvas, uint8_t *out) {
+  FILE *f = fopen(path, "rb");
+  if (!f) return false;
+
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  std::vector<uint8_t> decoded;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  // DCT-domain downscale: pick the largest 1/k (k in 1,2,4,8) that keeps
+  // both dims >= canvas (quality) — decode work drops ~k^2.
+  int scale = 1;
+  while (scale < 8 && (int)cinfo.image_width / (scale * 2) >= canvas &&
+         (int)cinfo.image_height / (scale * 2) >= canvas)
+    scale *= 2;
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = scale;
+  jpeg_start_decompress(&cinfo);
+  const int w = cinfo.output_width, h = cinfo.output_height,
+            c = cinfo.output_components;
+  if (c != 3) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
+  decoded.resize((size_t)w * h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t *row = decoded.data() + (size_t)cinfo.output_scanline * w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+
+  // Bilinear resample (w, h) -> (canvas, canvas).
+  if (w == canvas && h == canvas) {
+    memcpy(out, decoded.data(), (size_t)canvas * canvas * 3);
+    return true;
+  }
+  const float sx = (float)w / canvas, sy = (float)h / canvas;
+  for (int y = 0; y < canvas; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = (int)fy;
+    if (fy < 0) { fy = 0; y0 = 0; }
+    int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
+    float wy = fy - y0;
+    for (int x = 0; x < canvas; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      int x0 = (int)fx;
+      if (fx < 0) { fx = 0; x0 = 0; }
+      int x1 = x0 + 1 < w ? x0 + 1 : w - 1;
+      float wx = fx - x0;
+      const uint8_t *p00 = &decoded[((size_t)y0 * w + x0) * 3];
+      const uint8_t *p01 = &decoded[((size_t)y0 * w + x1) * 3];
+      const uint8_t *p10 = &decoded[((size_t)y1 * w + x0) * 3];
+      const uint8_t *p11 = &decoded[((size_t)y1 * w + x1) * 3];
+      uint8_t *dst = out + ((size_t)y * canvas + x) * 3;
+      for (int ch = 0; ch < 3; ++ch) {
+        float v = (1 - wy) * ((1 - wx) * p00[ch] + wx * p01[ch]) +
+                  wy * ((1 - wx) * p10[ch] + wx * p11[ch]);
+        dst[ch] = (uint8_t)(v + 0.5f);
+      }
+    }
+  }
+  return true;
+}
+
+// ------------------------------------------------------------- loader core
+
+struct Batch {
+  std::vector<uint8_t> imgs;
+  std::vector<int32_t> labels;
+  int count = 0;
+};
+
+struct Loader {
+  // Index
+  std::vector<std::string> paths;
+  std::vector<int32_t> labels;
+  int batch, canvas, channels;
+  int threads, capacity;
+  uint64_t seed;
+  int shard_id, num_shards;
+  bool drop_last;
+
+  // Epoch state
+  std::vector<uint32_t> order;
+  std::atomic<size_t> next_item{0};
+  size_t epoch_items = 0;
+
+  // Ring of ready batches
+  std::vector<Batch> ring;
+  std::vector<int> ring_state;  // 0 free, 1 filling, 2 ready
+  size_t ring_head = 0;         // next batch id to hand to consumer
+  size_t batches_total = 0;
+  std::atomic<size_t> next_batch_claim{0};
+  std::mutex mu;
+  std::condition_variable cv_ready, cv_free;
+  std::vector<std::thread> workers;
+  std::atomic<bool> stop{false};
+  std::atomic<size_t> failed{0};
+
+  ~Loader() { shutdown(); }
+
+  void shutdown() {
+    stop.store(true);
+    cv_free.notify_all();
+    cv_ready.notify_all();
+    for (auto &t : workers)
+      if (t.joinable()) t.join();
+    workers.clear();
+  }
+
+  void start_epoch(int epoch) {
+    shutdown();
+    stop.store(false);
+    // Shuffled, sharded epoch order (== Python _epoch_indices).
+    size_t n = paths.size();
+    std::vector<uint32_t> full(n);
+    for (size_t i = 0; i < n; ++i) full[i] = (uint32_t)i;
+    uint64_t s = seed * 100003ULL + (uint64_t)epoch + 0x243f6a8885a308d3ULL;
+    for (size_t i = n; i > 1; --i) {
+      size_t j = splitmix64(s) % i;
+      std::swap(full[i - 1], full[j]);
+    }
+    order.clear();
+    for (size_t i = shard_id; i < n; i += num_shards) order.push_back(full[i]);
+    if (drop_last) order.resize((order.size() / batch) * batch);
+    epoch_items = order.size();
+    batches_total = drop_last ? epoch_items / batch
+                              : (epoch_items + batch - 1) / batch;
+    next_batch_claim.store(0);
+    ring_head = 0;
+    const size_t slot_bytes = (size_t)batch * canvas * canvas * channels;
+    ring.assign(capacity, Batch{});
+    for (auto &b : ring) {
+      b.imgs.resize(slot_bytes);
+      b.labels.resize(batch);
+    }
+    ring_state.assign(capacity, 0);
+    for (int t = 0; t < threads; ++t)
+      workers.emplace_back([this] { worker_loop(); });
+  }
+
+  void worker_loop() {
+    while (!stop.load()) {
+      size_t bi = next_batch_claim.fetch_add(1);
+      if (bi >= batches_total) return;
+      size_t slot = bi % capacity;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        // Wait until this slot has been consumed (ring wraps).
+        cv_free.wait(lk, [&] {
+          return stop.load() || (bi < ring_head + capacity && ring_state[slot] == 0);
+        });
+        if (stop.load()) return;
+        ring_state[slot] = 1;
+      }
+      Batch &b = ring[slot];
+      size_t start = bi * batch;
+      size_t count = std::min((size_t)batch, epoch_items - start);
+      b.count = (int)count;
+      const size_t img_bytes = (size_t)canvas * canvas * channels;
+      for (size_t k = 0; k < count; ++k) {
+        uint32_t idx = order[start + k];
+        uint8_t *dst = b.imgs.data() + k * img_bytes;
+        if (!decode_jpeg_to_canvas(paths[idx].c_str(), canvas, dst)) {
+          memset(dst, 0, img_bytes);
+          failed.fetch_add(1);
+        }
+        b.labels[k] = labels[idx];
+      }
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        ring_state[slot] = 2;
+      }
+      cv_ready.notify_all();
+    }
+  }
+
+  // Returns items in batch (0 = epoch done). Blocks until ready.
+  int next(uint8_t *out_imgs, int32_t *out_labels) {
+    if (ring_head >= batches_total) return 0;
+    size_t slot = ring_head % capacity;
+    {
+      std::unique_lock<std::mutex> lk(mu);
+      cv_ready.wait(lk, [&] { return stop.load() || ring_state[slot] == 2; });
+      if (stop.load()) return 0;
+    }
+    Batch &b = ring[slot];
+    memcpy(out_imgs, b.imgs.data(),
+           (size_t)b.count * canvas * canvas * channels);
+    memcpy(out_labels, b.labels.data(), (size_t)b.count * sizeof(int32_t));
+    int count = b.count;
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      ring_state[slot] = 0;
+      ring_head += 1;
+    }
+    cv_free.notify_all();
+    return count;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void *csmae_loader_create(const char **paths, const int32_t *labels, int64_t n,
+                          int batch, int canvas, int channels, int threads,
+                          int capacity, uint64_t seed, int shard_id,
+                          int num_shards, int drop_last) {
+  auto *l = new Loader();
+  l->paths.reserve(n);
+  l->labels.assign(labels, labels + n);
+  for (int64_t i = 0; i < n; ++i) l->paths.emplace_back(paths[i]);
+  l->batch = batch;
+  l->canvas = canvas;
+  l->channels = channels;
+  l->threads = threads > 0 ? threads : 1;
+  l->capacity = capacity > 1 ? capacity : 2;
+  l->seed = seed;
+  l->shard_id = shard_id;
+  l->num_shards = num_shards > 0 ? num_shards : 1;
+  l->drop_last = drop_last != 0;
+  return l;
+}
+
+void csmae_loader_start_epoch(void *handle, int epoch) {
+  static_cast<Loader *>(handle)->start_epoch(epoch);
+}
+
+int csmae_loader_next(void *handle, uint8_t *imgs, int32_t *labels) {
+  return static_cast<Loader *>(handle)->next(imgs, labels);
+}
+
+int64_t csmae_loader_batches_per_epoch(void *handle) {
+  return static_cast<Loader *>(handle)->batches_total;
+}
+
+int64_t csmae_loader_failed_count(void *handle) {
+  return static_cast<Loader *>(handle)->failed.load();
+}
+
+void csmae_loader_destroy(void *handle) { delete static_cast<Loader *>(handle); }
+
+// Standalone single-image decode (used for parity tests / viz).
+int csmae_decode_jpeg(const char *path, int canvas, uint8_t *out) {
+  return decode_jpeg_to_canvas(path, canvas, out) ? 1 : 0;
+}
+
+}  // extern "C"

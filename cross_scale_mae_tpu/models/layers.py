@@ -1,0 +1,212 @@
+"""Functional transformer building blocks on plain-pytree params.
+
+Replaces the reference's timm ``Block``/``PatchEmbed`` dependency
+(``models_mae/MAE_ViT_Baseline.py:7, 160-188``) with from-scratch JAX:
+
+* Parameters are nested dicts of fp32 arrays; linear kernels are (in, out).
+* **Layer stacks are scanned**: per-layer params are stacked on a leading
+  axis and the stack runs under ``jax.lax.scan`` — one trace and one HLO body
+  regardless of depth (compile time and code size stay O(1) in layers), with
+  optional ``jax.checkpoint`` rematerialization per layer.
+* Compute dtype is configurable (bf16 by default); LayerNorm statistics and
+  softmax run in fp32.
+* Init matches the reference: xavier-uniform linear weights / zero bias
+  (MAE_ViT_Baseline.py:233-241), normal(0.02) tokens (:229-230).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------- init utils
+
+
+def xavier_uniform(rng: jax.Array, shape: tuple[int, ...], fan_in: int, fan_out: int):
+    limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return jax.random.uniform(rng, shape, jnp.float32, -limit, limit)
+
+
+def linear_init(rng: jax.Array, d_in: int, d_out: int) -> Params:
+    return {
+        "kernel": xavier_uniform(rng, (d_in, d_out), d_in, d_out),
+        "bias": jnp.zeros((d_out,), jnp.float32),
+    }
+
+
+def layer_norm_init(dim: int) -> Params:
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def block_init(rng: jax.Array, dim: int, mlp_ratio: int = 4) -> Params:
+    """One pre-LN transformer block (timm Block layout, qkv fused)."""
+    k_qkv, k_proj, k_fc1, k_fc2 = jax.random.split(rng, 4)
+    hidden = dim * mlp_ratio
+    return {
+        "norm1": layer_norm_init(dim),
+        "attn": {
+            # Reference init treats the fused qkv as one Linear(dim, 3*dim)
+            # (MAE_ViT_Baseline.py:233-238 xavier over the full matrix).
+            "qkv": linear_init(k_qkv, dim, 3 * dim),
+            "proj": linear_init(k_proj, dim, dim),
+        },
+        "norm2": layer_norm_init(dim),
+        "mlp": {
+            "fc1": linear_init(k_fc1, dim, hidden),
+            "fc2": linear_init(k_fc2, hidden, dim),
+        },
+    }
+
+
+def stacked_blocks_init(rng: jax.Array, num_layers: int, dim: int, mlp_ratio: int = 4) -> Params:
+    """num_layers blocks with leading stack axis on every leaf."""
+    keys = jax.random.split(rng, num_layers)
+    blocks = [block_init(k, dim, mlp_ratio) for k in keys]
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
+
+
+# --------------------------------------------------------------- apply utils
+
+
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return x @ p["kernel"].astype(x.dtype) + p["bias"].astype(x.dtype)
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """LN with fp32 statistics regardless of activation dtype."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def attention(p: Params, x: jnp.ndarray, num_heads: int, impl: str = "xla") -> jnp.ndarray:
+    """Multi-head self-attention with fused qkv (timm Attention layout)."""
+    n, l, d = x.shape
+    head_dim = d // num_heads
+    qkv = linear(p["qkv"], x)  # (N, L, 3D)
+    qkv = qkv.reshape(n, l, 3, num_heads, head_dim)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (N, L, H, hd)
+    if impl == "pallas":
+        from cross_scale_mae_tpu.ops.attention import mha
+
+        out = mha(q, k, v)
+    else:
+        scale = head_dim ** -0.5
+        logits = jnp.einsum(
+            "nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("nhqk,nkhd->nqhd", probs, v)
+    out = out.reshape(n, l, d)
+    return linear(p["proj"], out)
+
+
+def mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return linear(p["fc2"], jax.nn.gelu(linear(p["fc1"], x), approximate=False))
+
+
+def block(p: Params, x: jnp.ndarray, num_heads: int, impl: str = "xla",
+          norm_style: str = "pre") -> jnp.ndarray:
+    """Transformer block. 'pre' = timm Block (x + f(ln(x))); 'post' mirrors the
+    xFormers residual_norm_style='post' option (MAE_ViT_Baseline.py:33)."""
+    if norm_style == "pre":
+        x = x + attention(p["attn"], layer_norm(p["norm1"], x), num_heads, impl)
+        x = x + mlp(p["mlp"], layer_norm(p["norm2"], x))
+    else:
+        x = layer_norm(p["norm1"], x + attention(p["attn"], x, num_heads, impl))
+        x = layer_norm(p["norm2"], x + mlp(p["mlp"], x))
+    return x
+
+
+def run_blocks(
+    stacked: Params,
+    x: jnp.ndarray,
+    num_heads: int,
+    impl: str = "xla",
+    norm_style: str = "pre",
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Apply a scanned stack of blocks (leading axis = layer)."""
+
+    def body(carry, layer_params):
+        out = block(layer_params, carry, num_heads, impl, norm_style)
+        return out, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, stacked)
+    return x
+
+
+# --------------------------------------------------- predictor MLP (+ BN)
+
+
+def predictor_init(rng: jax.Array, dim: int, num_tokens: int, hidden: int) -> Params:
+    """Reference predictor MLP (models_mae/MLP.py): Linear -> BatchNorm1d over
+    the *token* axis (channel = num_patches) -> ReLU -> Linear."""
+    k1, k2 = jax.random.split(rng)
+    return {
+        "fc1": linear_init(k1, dim, hidden),
+        "bn": {
+            "scale": jnp.ones((num_tokens,), jnp.float32),
+            "bias": jnp.zeros((num_tokens,), jnp.float32),
+        },
+        "fc2": linear_init(k2, hidden, dim),
+    }
+
+
+def predictor_state_init(num_tokens: int) -> Params:
+    return {
+        "bn": {
+            "mean": jnp.zeros((num_tokens,), jnp.float32),
+            "var": jnp.ones((num_tokens,), jnp.float32),
+        }
+    }
+
+
+def predictor_apply(
+    p: Params,
+    state: Params,
+    x: jnp.ndarray,
+    train: bool = True,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+) -> tuple[jnp.ndarray, Params]:
+    """x: (N, T, D). BatchNorm normalizes over (N, D) per token position T —
+    exactly torch BatchNorm1d(num_patches) on an (N, C=T, L=D) input.
+
+    Batch statistics are local to the device shard (the reference's DDP
+    BatchNorm behaves the same way). Returns (out, new_state).
+    """
+    h = linear(p["fc1"], x)  # (N, T, hidden)
+    h32 = h.astype(jnp.float32)
+    if train:
+        mean = jnp.mean(h32, axis=(0, 2))  # (T,)
+        var = jnp.var(h32, axis=(0, 2))
+        n = h32.shape[0] * h32.shape[2]
+        unbiased = var * n / max(n - 1, 1)  # torch tracks unbiased running var
+        new_state = {
+            "bn": {
+                "mean": (1 - momentum) * state["bn"]["mean"] + momentum * mean,
+                "var": (1 - momentum) * state["bn"]["var"] + momentum * unbiased,
+            }
+        }
+    else:
+        mean, var = state["bn"]["mean"], state["bn"]["var"]
+        new_state = state
+    h32 = (h32 - mean[None, :, None]) * jax.lax.rsqrt(var[None, :, None] + eps)
+    h32 = h32 * p["bn"]["scale"][None, :, None] + p["bn"]["bias"][None, :, None]
+    h = jax.nn.relu(h32).astype(h.dtype)
+    return linear(p["fc2"], h), new_state

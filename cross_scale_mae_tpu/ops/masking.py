@@ -14,17 +14,26 @@ import jax.numpy as jnp
 
 
 def random_masking(
-    x: jnp.ndarray, len_keep: int, rng: jax.Array
+    x: jnp.ndarray,
+    len_keep: int,
+    rng: jax.Array | None = None,
+    noise: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Keep a random ``len_keep``-subset of tokens per sample.
 
-    x: (N, L, D) token sequence.
+    x: (N, L, D) token sequence. Pass either ``rng`` or precomputed ``noise``
+    (N, L) — the latter lets the caller share one noise draw across the two
+    scale views (the reference's ``consistent_mask`` / ``mask_seed`` path,
+    MAE_ViT_MsLd.py:42-49).
+
     Returns ``(x_masked, mask, ids_restore)`` where ``x_masked`` is
     (N, len_keep, D), ``mask`` is (N, L) with 0=keep / 1=masked (reference
     convention), and ``ids_restore`` un-shuffles decoder tokens.
     """
     n, l, d = x.shape
-    noise = jax.random.uniform(rng, (n, l))
+    if noise is None:
+        assert rng is not None, "need rng or noise"
+        noise = jax.random.uniform(rng, (n, l))
     ids_shuffle = jnp.argsort(noise, axis=1)  # ascending: small = keep
     ids_restore = jnp.argsort(ids_shuffle, axis=1)
     ids_keep = ids_shuffle[:, :len_keep]

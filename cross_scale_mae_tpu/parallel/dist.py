@@ -1,0 +1,47 @@
+"""Multi-host bootstrap.
+
+Replaces ``util/misc.py:255-296`` (env-var / OMPI / SLURM NCCL bootstrap +
+barrier) with single-controller JAX: each host calls
+``jax.distributed.initialize`` once; afterwards ``jax.devices()`` spans the
+whole slice and one Mesh covers it. Per-host data sharding replaces
+``DistributedSampler`` (main_pretrain.py:380): each host loads
+``1/process_count`` of the index (see data/loader.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> dict:
+    """Initialize multi-host JAX if requested via args or env.
+
+    Single-host runs are a no-op (the common case on one v4-8 board, like
+    the reference's single-node torchrun). Returns a summary dict.
+    """
+    import jax
+
+    want_dist = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if want_dist:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return dict(
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+        local_devices=jax.local_device_count(),
+        global_devices=jax.device_count(),
+    )
+
+
+def is_main_process() -> bool:
+    """Rank-0 check (util/misc.py:246-247) for logging/checkpoint writes."""
+    import jax
+
+    return jax.process_index() == 0

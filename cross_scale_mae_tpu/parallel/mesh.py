@@ -1,0 +1,112 @@
+"""Device mesh + sharding rules.
+
+The reference's only distribution strategy is NCCL DDP
+(``main_pretrain.py:417-420``; gradient all-reduce inside
+``scaler.backward``, ``util/misc.py:314``). The TPU-native equivalent
+(SURVEY.md §2 "parallelism table"): one ``Mesh`` over all chips with axes
+``('data', 'model')``;
+
+* batch arrays are sharded on ``data`` — XLA then inserts the gradient
+  all-reduce (psum over ICI) automatically when replicated params meet
+  sharded activations, which *is* DDP, fused into the backward;
+* the ``model`` axis is the tensor-parallel hook (not needed for parity —
+  ViT-L fits one chip — but wired): attention qkv/fc1 kernels shard on the
+  output feature dim, proj/fc2 on the input feature dim (Megatron split), so
+  each block needs exactly one psum at each of the two residual joins.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Params = dict[str, Any]
+
+
+def make_mesh(
+    devices: Optional[list] = None, model_parallel: int = 1
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Tensor-parallel rules keyed by (parent, leaf) name patterns. Kernel shapes:
+# plain linear (in, out); stacked block leaves carry a leading layer axis.
+_COL_PARALLEL = ("qkv", "fc1")   # shard output features
+_ROW_PARALLEL = ("proj", "fc2")  # shard input features
+
+
+def _spec_for(path_names: list[str], leaf) -> P:
+    parent = path_names[-2] if len(path_names) >= 2 else ""
+    stacked = any("blocks" in n for n in path_names)
+    if path_names[-1] == "kernel" and parent in _COL_PARALLEL:
+        return P(None, None, "model") if stacked else P(None, "model")
+    if path_names[-1] == "kernel" and parent in _ROW_PARALLEL:
+        return P(None, "model", None) if stacked else P("model", None)
+    if path_names[-1] == "bias" and parent in _COL_PARALLEL:
+        return P(None, "model") if stacked else P("model")
+    return P()
+
+
+def param_shardings(mesh: Mesh, params: Params, tensor_parallel: bool = True) -> Params:
+    """NamedSharding pytree for params (replicated unless TP is on)."""
+
+    def assign(path, leaf):
+        if not tensor_parallel or mesh.shape["model"] == 1:
+            return NamedSharding(mesh, P())
+        names = []
+        for p in path:
+            names.append(str(getattr(p, "key", getattr(p, "name", p))))
+        return NamedSharding(mesh, _spec_for(names, leaf))
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def shard_train_state(mesh: Mesh, state, tensor_parallel: bool = True):
+    """Place a TrainState on the mesh: params per rules, opt/model state to
+    match (optimizer moments share the param layout), scalars replicated."""
+    p_shard = param_shardings(mesh, state.params, tensor_parallel)
+    params = jax.tree.map(jax.device_put, state.params, p_shard)
+    # Optimizer state: leaves with the same shape as a param get that param's
+    # sharding (Adam m/v, LARS mu); everything else is replicated.
+    # Build a shape->sharding lookup (best effort; ambiguity -> replicated).
+    shape_map: dict[tuple, Any] = {}
+    for (pp, pl), (sp, sl) in zip(
+        jax.tree_util.tree_leaves_with_path(state.params),
+        jax.tree_util.tree_leaves_with_path(p_shard),
+    ):
+        key = (pl.shape, pl.dtype)
+        if key in shape_map and shape_map[key] != sl:
+            shape_map[key] = replicated(mesh)
+        else:
+            shape_map[key] = sl
+
+    def place_opt(x):
+        if hasattr(x, "shape"):
+            sh = shape_map.get((x.shape, x.dtype), replicated(mesh))
+            return jax.device_put(x, sh)
+        return x
+
+    opt_state = jax.tree.map(place_opt, state.opt_state)
+    model_state = jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)),
+                               state.model_state)
+    step = jax.device_put(state.step, replicated(mesh))
+    return state.replace(
+        step=step, params=params, model_state=model_state, opt_state=opt_state
+    )

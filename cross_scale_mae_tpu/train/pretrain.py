@@ -1,0 +1,94 @@
+"""Pretraining step: forward(two views) + every loss + backward + AdamW,
+one XLA program.
+
+Replaces ``engine_pretrain.py:18-101``. The reference's per-step host work
+(``loss.item()``, ``cuda.synchronize()``, eager metric all-reduce —
+engine_pretrain.py:55,72,79) disappears: the step returns a small metrics
+dict that the host fetches asynchronously every ``log_interval`` steps.
+
+Gradient accumulation (``accum_iter``, main_pretrain.py:53-61) is a
+``lax.scan`` over microbatches inside the same program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from cross_scale_mae_tpu.configs import MAEConfig, TrainConfig
+from cross_scale_mae_tpu.models.mae import mae_loss_fn
+from cross_scale_mae_tpu.train.state import TrainState, global_norm
+
+
+def make_pretrain_step(
+    cfg: MAEConfig,
+    tcfg: TrainConfig,
+    schedule: Callable[[jnp.ndarray], jnp.ndarray],
+    donate: bool = True,
+) -> Callable:
+    """Returns jit-compiled ``step(state, batch, rng) -> (state, metrics)``.
+
+    batch: (B, H, W, C) normalized images. With ``tcfg.accum_iter > 1``, B
+    must divide evenly into microbatches.
+    """
+
+    def loss_fn(params, model_state, imgs, rng):
+        out = mae_loss_fn(
+            params, model_state, cfg, imgs, rng,
+            train=True, consistent_mask=tcfg.consistent_mask,
+        )
+        return out.loss, out
+
+    def step(state: TrainState, batch: jnp.ndarray, rng: jax.Array):
+        # Fold in the step so one host key covers the whole run
+        # (replaces per-rank seeding at main_pretrain.py:368-370).
+        rng = jax.random.fold_in(rng, state.step)
+        accum = tcfg.accum_iter
+        if accum == 1:
+            (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.model_state, batch, rng
+            )
+            losses = out.losses
+            new_model_state = out.state
+        else:
+            b = batch.shape[0]
+            micro = b // accum
+            batches = batch.reshape((accum, micro) + batch.shape[1:])
+
+            def body(carry, xs):
+                grads_acc, losses_acc, model_state = carry
+                mb, key = xs
+                (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, model_state, mb, key
+                )
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                losses_acc = jax.tree.map(jnp.add, losses_acc, out.losses)
+                return (grads_acc, losses_acc, out.state), None
+
+            zeros_g = jax.tree.map(jnp.zeros_like, state.params)
+            # Trace once to get the loss-dict structure.
+            struct = jax.eval_shape(
+                lambda p, s: loss_fn(p, s, batches[0], rng)[1].losses,
+                state.params, state.model_state,
+            )
+            zeros_l = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), struct)
+            keys = jax.random.split(rng, accum)
+            (grads, losses, new_model_state), _ = jax.lax.scan(
+                body, (zeros_g, zeros_l, state.model_state), (batches, keys)
+            )
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            losses = jax.tree.map(lambda l: l / accum, losses)
+            loss = sum(losses.values())
+
+        gnorm = global_norm(grads)
+        new_state = state.apply_gradients(grads, new_model_state)
+        metrics = dict(losses)
+        metrics.update(
+            loss=loss, grad_norm=gnorm, lr=schedule(state.step),
+        )
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,106 @@
+"""Run logging: rank-0 stdout, append-only jsonl, TensorBoard, wandb.
+
+The reference's four channels (SURVEY.md §5): rank-0 print monkeypatch
+(``util/misc.py:217-231``), TB scalars at epoch_1000x granularity
+(``engine_pretrain.py:80-86``), wandb (``main_pretrain.py:496-548``), and
+``log.jsonl`` (``main_pretrain.py:631-634``). Same surface here behind one
+``RunLogger``; TB/wandb engage only if importable.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+from typing import Any, Optional
+
+
+def rank0_print(*args, **kwargs):
+    import jax
+
+    if jax.process_index() == 0:
+        now = datetime.datetime.now().strftime("[%H:%M:%S.%f")[:-3] + "]"
+        print(now, *args, **kwargs, flush=True)
+
+
+def epoch_1000x(epoch_fractional: float) -> int:
+    """The reference's TB x-axis calibration (engine_pretrain.py:82-86)."""
+    return int(epoch_fractional * 1000)
+
+
+class RunLogger:
+    def __init__(
+        self,
+        output_dir: Optional[str],
+        use_tensorboard: bool = False,
+        use_wandb: bool = False,
+        wandb_project: str = "cross_scale_mae_tpu",
+        run_name: Optional[str] = None,
+        config: Optional[dict] = None,
+    ):
+        import jax
+
+        self.is_main = jax.process_index() == 0
+        self.output_dir = output_dir
+        self._jsonl = None
+        self._tb = None
+        self._wandb = None
+        if not self.is_main:
+            return
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+            self._jsonl = open(os.path.join(output_dir, "log.jsonl"), "a")
+        if use_tensorboard and output_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir=os.path.join(output_dir, "tb"))
+            except ImportError:
+                rank0_print("tensorboard unavailable; skipping TB logging")
+        if use_wandb:
+            try:
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(project=wandb_project, name=run_name, config=config or {})
+            except ImportError:
+                rank0_print("wandb unavailable; skipping wandb logging")
+
+    def log_step(self, step_1000x: int, metrics: dict[str, Any]):
+        if not self.is_main:
+            return
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(k, float(v), step_1000x)
+        if self._wandb is not None:
+            self._wandb.log({**{k: float(v) for k, v in metrics.items()},
+                             "step_1000x": step_1000x})
+
+    def log_epoch(self, payload: dict[str, Any]):
+        """Append one epoch record to log.jsonl (main_pretrain.py:631-634)."""
+        if not self.is_main or self._jsonl is None:
+            return
+        self._jsonl.write(json.dumps(payload) + "\n")
+        self._jsonl.flush()
+
+    def close(self):
+        if self._jsonl is not None:
+            self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
+
+
+def auto_output_dir(base: str, **config: Any) -> str:
+    """Config-encoding run dir with +N anti-clobber suffix
+    (main_pretrain.py:450-493)."""
+    parts = [f"{k}_{v}" for k, v in config.items() if v is not None]
+    name = "-".join(parts) if parts else "run"
+    path = os.path.join(base, name)
+    if os.path.exists(path):
+        i = 1
+        while os.path.exists(f"{path}+{i}"):
+            i += 1
+        path = f"{path}+{i}"
+    return path

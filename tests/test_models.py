@@ -1,0 +1,223 @@
+"""Model-level tests: forward shapes, loss composition, param counts, init stats."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cross_scale_mae_tpu.configs import get_mae_config, get_vit_config
+from cross_scale_mae_tpu.models import (
+    mae_apply,
+    mae_init,
+    mae_loss_fn,
+    vit_apply,
+    vit_init,
+)
+
+TINY = get_mae_config(
+    "mae_vit_tiny", input_size=32, patch_size=8, compute_dtype="float32"
+)
+
+
+def _count(params):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+def make_imgs(n=4, size=32, c=3, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=(n, size, size, c)).astype(np.float32))
+
+
+class TestBaseline:
+    def test_forward_shapes(self):
+        params, state = mae_init(jax.random.key(0), TINY)
+        out = mae_apply(params, TINY, make_imgs(), jax.random.key(1))
+        n, l, pdim = 4, TINY.num_patches, TINY.patch_dim
+        assert out.pred.shape == (n, l, pdim)
+        assert out.mask.shape == (n, l)
+        assert np.isfinite(float(out.loss))
+        # 0=keep 1=masked, counts set by mask_ratio
+        np.testing.assert_allclose(
+            np.asarray(out.mask.sum(axis=1)), l - TINY.len_keep
+        )
+
+    def test_param_count_matches_formula(self):
+        cfg = TINY
+        params, _ = mae_init(jax.random.key(0), cfg)
+        d, dd, L = cfg.dim_model, cfg.decoder_embed_dim, cfg.num_patches
+        pd = cfg.patch_dim
+
+        def block_params(dim):
+            return (
+                2 * 2 * dim                        # 2 LN
+                + dim * 3 * dim + 3 * dim          # qkv
+                + dim * dim + dim                  # proj
+                + dim * 4 * dim + 4 * dim          # fc1
+                + 4 * dim * dim + dim              # fc2
+            )
+
+        expect = (
+            pd * d + d                             # patch embed
+            + d + dd                               # cls + mask tokens
+            + cfg.encoder_num_layers * block_params(d)
+            + 2 * d                                # encoder_norm
+            + d * dd + dd                          # decoder embed
+            + cfg.decoder_num_layers * block_params(dd)
+            + 2 * dd                               # decoder norm
+            + dd * pd + pd                         # decoder pred
+        )
+        assert _count(params) == expect
+
+    def test_vit_base_param_count_reference_scale(self):
+        # ViT-B/16 at 224: encoder params should be ~85.8M like the reference
+        # preset (models_mae/__init__.py:42-49 with timm blocks).
+        cfg = get_mae_config("mae_vit_base", input_size=224, patch_size=16)
+        params, _ = mae_init(jax.random.key(0), cfg)
+        total = _count(params)
+        assert 110e6 < total < 115e6  # encoder 85.8M + decoder ~26M
+
+    def test_init_statistics(self):
+        params, _ = mae_init(jax.random.key(0), TINY)
+        cls = np.asarray(params["cls_token"])
+        assert abs(cls.std() - 0.02) < 0.01
+        w = np.asarray(params["encoder_blocks"]["attn"]["qkv"]["kernel"])
+        # xavier uniform bound for (d, 3d)
+        limit = np.sqrt(6.0 / (TINY.dim_model + 3 * TINY.dim_model))
+        assert np.abs(w).max() <= limit + 1e-6
+        b = np.asarray(params["encoder_blocks"]["attn"]["qkv"]["bias"])
+        assert (b == 0).all()
+
+    def test_mask_seed_reproducible(self):
+        params, _ = mae_init(jax.random.key(0), TINY)
+        imgs = make_imgs()
+        o1 = mae_apply(params, TINY, imgs, jax.random.key(5))
+        o2 = mae_apply(params, TINY, imgs, jax.random.key(5))
+        np.testing.assert_array_equal(np.asarray(o1.mask), np.asarray(o2.mask))
+        np.testing.assert_allclose(float(o1.loss), float(o2.loss))
+
+
+class TestVariants:
+    @pytest.mark.parametrize(
+        "variant,terms",
+        [
+            ("MsLd", {"loss_d"}),
+            ("MsLdLe", {"loss_d", "loss_e"}),
+            ("MsLdCe", {"loss_d", "loss_ce_pred"}),
+            ("MsLdCd", {"loss_d", "loss_cd"}),
+            ("MsLdCeCd", {"loss_d", "loss_cd", "loss_ce"}),
+            ("MsLdLeCd", {"loss_d", "loss_e", "loss_cd"}),
+        ],
+    )
+    def test_loss_terms(self, variant, terms):
+        cfg = get_mae_config(
+            f"mae_vit_tiny_{variant}", input_size=32, patch_size=8,
+            compute_dtype="float32",
+        )
+        params, state = mae_init(jax.random.key(0), cfg)
+        out = mae_loss_fn(params, state, cfg, make_imgs(), jax.random.key(1))
+        assert set(out.losses) == terms
+        total = sum(float(v) for v in out.losses.values())
+        np.testing.assert_allclose(float(out.loss), total, rtol=1e-5)
+        assert np.isfinite(float(out.loss))
+
+    def test_consistent_mask(self):
+        cfg = get_mae_config(
+            "mae_vit_tiny_MsLd", input_size=32, patch_size=8,
+            compute_dtype="float32",
+        )
+        params, state = mae_init(jax.random.key(0), cfg)
+        imgs = make_imgs()
+
+        # With consistent_mask the two views share per-sample masks. Verify
+        # via the internal noise path: run loss twice with the same key.
+        out_a = mae_loss_fn(
+            params, state, cfg, imgs, jax.random.key(3), consistent_mask=True
+        )
+        out_b = mae_loss_fn(
+            params, state, cfg, imgs, jax.random.key(3), consistent_mask=False
+        )
+        # Same key: the original-view mask is identical either way.
+        np.testing.assert_array_equal(np.asarray(out_a.mask), np.asarray(out_b.mask))
+
+    def test_ms_decoder_loss_mean_halves(self):
+        base = get_mae_config(
+            "mae_vit_tiny_MsLd", input_size=32, patch_size=8,
+            compute_dtype="float32",
+        )
+        params, state = mae_init(jax.random.key(0), base)
+        imgs = make_imgs()
+        sum_out = mae_loss_fn(params, state, base, imgs, jax.random.key(1))
+        mean_cfg = base.replace(ms_decoder_loss_reduction="mean")
+        mean_out = mae_loss_fn(params, state, mean_cfg, imgs, jax.random.key(1))
+        np.testing.assert_allclose(
+            float(mean_out.losses["loss_d"]),
+            float(sum_out.losses["loss_d"]) / 2,
+            rtol=1e-5,
+        )
+
+    def test_predictor_bn_state_updates(self):
+        cfg = get_mae_config(
+            "mae_vit_tiny_MsLdCd", input_size=32, patch_size=8,
+            compute_dtype="float32",
+        )
+        params, state = mae_init(jax.random.key(0), cfg)
+        out = mae_loss_fn(params, state, cfg, make_imgs(), jax.random.key(1))
+        before = np.asarray(state["predictor_cd"]["bn"]["mean"])
+        after = np.asarray(out.state["predictor_cd"]["bn"]["mean"])
+        assert not np.allclose(before, after)
+
+
+class TestClassifier:
+    def test_cls_and_global_pool_paths(self):
+        for gp in (False, True):
+            cfg = get_vit_config(
+                "vit_base_patch16", input_size=32, num_classes=10,
+                global_pool=gp, depth=2, compute_dtype="float32",
+            )
+            params, state = vit_init(jax.random.key(0), cfg)
+            logits, _ = vit_apply(params, state, cfg, make_imgs())
+            assert logits.shape == (4, 10)
+            assert np.isfinite(np.asarray(logits)).all()
+            assert ("fc_norm" in params) == gp
+            assert ("norm" in params) != gp
+
+    def test_bn_head_state(self):
+        cfg = get_vit_config(
+            "vit_base_patch16", input_size=32, num_classes=10, depth=2,
+            use_bn_head=True, global_pool=True, compute_dtype="float32",
+        )
+        params, state = vit_init(jax.random.key(0), cfg)
+        logits, new_state = vit_apply(
+            params, state, cfg, make_imgs(), train=True
+        )
+        assert not np.allclose(
+            np.asarray(state["head_bn"]["mean"]),
+            np.asarray(new_state["head_bn"]["mean"]),
+        )
+
+    def test_drop_path_train_vs_eval(self):
+        cfg = get_vit_config(
+            "vit_base_patch16", input_size=32, num_classes=10, depth=2,
+            drop_path_rate=0.5, compute_dtype="float32",
+        )
+        params, state = vit_init(jax.random.key(0), cfg)
+        imgs = make_imgs()
+        eval_logits, _ = vit_apply(params, state, cfg, imgs, train=False)
+        t1, _ = vit_apply(params, state, cfg, imgs, train=True, rng=jax.random.key(1))
+        t2, _ = vit_apply(params, state, cfg, imgs, train=True, rng=jax.random.key(2))
+        assert not np.allclose(np.asarray(t1), np.asarray(t2))
+        assert np.isfinite(np.asarray(t1)).all()
+
+
+class TestAttentionImpls:
+    def test_pallas_matches_xla(self):
+        from cross_scale_mae_tpu.ops.attention import pallas_mha, xla_mha
+
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.normal(size=(2, 16, 4, 8)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(2, 16, 4, 8)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(2, 16, 4, 8)).astype(np.float32))
+        ref = xla_mha(q, k, v)
+        got = pallas_mha(q, k, v, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

@@ -1,0 +1,108 @@
+"""Multi-device tests on the simulated 8-device CPU mesh (conftest.py).
+
+Exercises the DDP-equivalent path (batch sharded on 'data', params
+replicated, XLA-inserted gradient reduction) and the tensor-parallel hook.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cross_scale_mae_tpu.configs import TrainConfig, get_mae_config
+from cross_scale_mae_tpu.models import mae_init
+from cross_scale_mae_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    shard_train_state,
+)
+from cross_scale_mae_tpu.train import TrainState, build_optimizer, warmup_half_cosine
+from cross_scale_mae_tpu.train.pretrain import make_pretrain_step
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = get_mae_config(
+        "mae_vit_tiny_MsLd", input_size=16, patch_size=8, compute_dtype="float32"
+    )
+    tcfg = TrainConfig(epochs=1, warmup_epochs=0, blr=1e-3)
+    params, mstate = mae_init(jax.random.key(0), cfg)
+    sched = warmup_half_cosine(1e-3, 0.0, 0, 1, 10)
+    tx = build_optimizer(params, sched)
+    state = TrainState.create(params, mstate, tx)
+    return cfg, tcfg, sched, state
+
+
+def test_eight_devices_visible():
+    assert jax.device_count() == 8
+
+
+def test_data_parallel_step(tiny_setup):
+    cfg, tcfg, sched, state = tiny_setup
+    mesh = make_mesh(model_parallel=1)
+    state = shard_train_state(mesh, state, tensor_parallel=False)
+    imgs = jnp.asarray(
+        np.random.default_rng(0).normal(size=(16, 16, 16, 3)).astype(np.float32)
+    )
+    imgs = jax.device_put(imgs, batch_sharding(mesh))
+    step = make_pretrain_step(cfg, tcfg, sched, donate=False)
+    new_state, metrics = step(state, imgs, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # Params remain replicated after the update.
+    k = new_state.params["patch_embed"]["kernel"]
+    assert k.sharding.is_fully_replicated
+
+
+def test_data_parallel_matches_single_device(tiny_setup):
+    cfg, tcfg, sched, state = tiny_setup
+    imgs = jnp.asarray(
+        np.random.default_rng(0).normal(size=(16, 16, 16, 3)).astype(np.float32)
+    )
+    step = make_pretrain_step(cfg, tcfg, sched, donate=False)
+
+    # Single device
+    s1, m1 = step(state, imgs, jax.random.key(0))
+
+    # 8-way data parallel
+    mesh = make_mesh(model_parallel=1)
+    state8 = shard_train_state(mesh, state, tensor_parallel=False)
+    imgs8 = jax.device_put(imgs, batch_sharding(mesh))
+    s8, m8 = step(state8, imgs8, jax.random.key(0))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["decoder_pred"]["bias"]),
+        np.asarray(s8.params["decoder_pred"]["bias"]),
+        atol=1e-6,
+    )
+
+
+def test_tensor_parallel_shardings(tiny_setup):
+    cfg, tcfg, sched, state = tiny_setup
+    mesh = make_mesh(model_parallel=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    shardings = param_shardings(mesh, state.params, tensor_parallel=True)
+    qkv = shardings["encoder_blocks"]["attn"]["qkv"]["kernel"]
+    assert qkv.spec == P(None, None, "model")
+    proj = shardings["encoder_blocks"]["attn"]["proj"]["kernel"]
+    assert proj.spec == P(None, "model", None)
+    assert shardings["cls_token"].spec == P()
+
+
+def test_tensor_parallel_step_runs(tiny_setup):
+    cfg, tcfg, sched, state = tiny_setup
+    mesh = make_mesh(model_parallel=2)
+    state_tp = shard_train_state(mesh, state, tensor_parallel=True)
+    imgs = jnp.asarray(
+        np.random.default_rng(0).normal(size=(8, 16, 16, 3)).astype(np.float32)
+    )
+    imgs = jax.device_put(imgs, batch_sharding(mesh))
+    step = make_pretrain_step(cfg, tcfg, sched, donate=False)
+    new_state, metrics = step(state_tp, imgs, jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # TP sharding is preserved through the update.
+    k = new_state.params["encoder_blocks"]["mlp"]["fc1"]["kernel"]
+    assert not k.sharding.is_fully_replicated
