@@ -1,0 +1,27 @@
+# Build / test / bench entry points (reference Makefile manages a conda env
+# only; this one manages the native loader, tests, and benchmarks).
+
+.PHONY: all native test test-fast bench dryrun clean
+
+all: native
+
+native: cross_scale_mae_tpu/data/native/libcsmae_loader.so
+
+cross_scale_mae_tpu/data/native/libcsmae_loader.so: cross_scale_mae_tpu/data/native/loader.cpp
+	g++ -O3 -march=native -shared -fPIC -std=c++17 -pthread $< -o $@ -ljpeg
+
+test: native
+	python -m pytest tests/ -x -q
+
+test-fast: native
+	python -m pytest tests/ -x -q -m "not slow"
+
+bench:
+	python bench.py
+
+dryrun:
+	python __graft_entry__.py
+
+clean:
+	rm -f cross_scale_mae_tpu/data/native/libcsmae_loader.so
+	find . -name __pycache__ -type d -exec rm -rf {} +

@@ -1,0 +1,85 @@
+"""Shared CLI plumbing: argparse groups, runtime setup, epoch-loop helpers."""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Any, Optional
+
+import numpy as np
+
+
+def add_runtime_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("runtime")
+    g.add_argument("--seed", default=0, type=int)
+    g.add_argument("--output_dir", default="./output_dir")
+    g.add_argument("--log_dir", default=None, help="defaults to output_dir")
+    g.add_argument("--resume", default="", help="checkpoint dir to resume from")
+    g.add_argument("--num_workers", default=os.cpu_count() or 4, type=int)
+    g.add_argument("--device_batch_dtype", default="bfloat16")
+    g.add_argument("--model_parallel", default=1, type=int,
+                   help="tensor-parallel mesh axis size (1 = pure DP)")
+    g.add_argument("--coordinator_address", default=None,
+                   help="multi-host: jax.distributed coordinator")
+    g.add_argument("--num_processes", default=None, type=int)
+    g.add_argument("--process_id", default=None, type=int)
+    g.add_argument("--use_tensorboard", action="store_true")
+    g.add_argument("--use_wandb", action="store_true")
+    g.add_argument("--wandb_project", default="cross_scale_mae_tpu")
+    g.add_argument("--log_interval", default=20, type=int)
+    g.add_argument("--attention_impl", default="xla", choices=["xla", "pallas"])
+    g.add_argument("--remat", action="store_true",
+                   help="rematerialize blocks (trade FLOPs for HBM)")
+    g.add_argument("--compute_dtype", default="bfloat16")
+
+
+def add_data_args(p: argparse.ArgumentParser, pretrain: bool):
+    g = p.add_argument_group("data")
+    g.add_argument(
+        "--dataset_type", default="fmow_rgb",
+        choices=["fmow_rgb", "coco", "euro_sat", "fmow_sentinel", "naip",
+                 "synthetic"],
+    )
+    g.add_argument("--train_path", default="", help="csv/txt/dir per dataset type")
+    g.add_argument("--test_path", default="")
+    g.add_argument("--masked_bands", default=None, type=int, nargs="+")
+    g.add_argument("--dropped_bands", default=None, type=int, nargs="+")
+    g.add_argument("--synthetic_len", default=4096, type=int)
+    g.add_argument("--canvas_scale", default=1.0, type=float,
+                   help="host decode canvas / input_size")
+    if not pretrain:
+        g.add_argument("--nb_classes", default=62, type=int)
+
+
+def setup_runtime(args) -> dict[str, Any]:
+    """Distributed init + mesh + per-host seeding. Returns context dict."""
+    from cross_scale_mae_tpu.parallel import initialize_distributed, make_mesh
+
+    info = initialize_distributed(
+        args.coordinator_address, args.num_processes, args.process_id
+    )
+    mesh = make_mesh(model_parallel=args.model_parallel)
+    np.random.seed(args.seed + info["process_index"])
+    return dict(mesh=mesh, **info)
+
+
+def make_loader(args, dataset, batch_size, *, is_train=True, seed=0):
+    import jax
+
+    from cross_scale_mae_tpu.data import DataLoader
+
+    return DataLoader(
+        dataset,
+        batch_size,
+        shuffle=is_train,
+        seed=seed,
+        drop_last=is_train,
+        num_threads=max(2, args.num_workers),
+        shard_id=jax.process_index(),
+        num_shards=jax.process_count(),
+    )
+
+
+def encode_run_name(**config: Any) -> str:
+    """Config-encoded run identity (main_pretrain.py:450-463)."""
+    return "-".join(f"{k}_{v}" for k, v in config.items() if v is not None)

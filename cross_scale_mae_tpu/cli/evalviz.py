@@ -1,0 +1,96 @@
+"""Qualitative evaluation CLI: masked-reconstruction plots + metric sweeps.
+
+The CLI face of viz/recon.py — the reference exposes this through
+``util/viz.py``'s ``prepare_model``/``run_eval`` called from notebooks and
+the pretrain loop (SURVEY.md §3.4).
+
+Usage:
+    python -m cross_scale_mae_tpu.cli.evalviz --ckpt <run_dir>/checkpoints \
+        --images a.jpg b.jpg --metrics mse ssim --noise gaussian --out viz/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+import jax
+
+from cross_scale_mae_tpu.data.datasets import DATASET_STATS
+from cross_scale_mae_tpu.utils.logging import rank0_print
+from cross_scale_mae_tpu.viz import (
+    plot_reconstruction,
+    prepare_image,
+    prepare_model,
+    run_eval,
+    run_one_image,
+)
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("Cross-Scale MAE eval/viz (TPU)", add_help=False)
+    p.add_argument("--ckpt", required=True, nargs="+",
+                   help="checkpoint dir(s); multiple = comparison sweep")
+    p.add_argument("--step", default=None, type=int)
+    p.add_argument("--images", default=[], nargs="+",
+                   help="image files (omit for a synthetic probe image)")
+    p.add_argument("--dataset_type", default="fmow_rgb",
+                   choices=list(DATASET_STATS))
+    p.add_argument("--mask_ratio", default=0.75, type=float)
+    p.add_argument("--metrics", default=["mse", "ssim"], nargs="+")
+    p.add_argument("--noise", default=[], nargs="+",
+                   help="noise kinds: gaussian salt_pepper")
+    p.add_argument("--noise_amount", default=0.1, type=float)
+    p.add_argument("--out", default="./viz_out")
+    p.add_argument("--seed", default=0, type=int)
+    return p
+
+
+def main(args) -> dict:
+    mean, std = DATASET_STATS[args.dataset_type]
+    models = {}
+    for ckpt in args.ckpt:
+        params, _, cfg = prepare_model(ckpt, args.step)
+        models[os.path.basename(os.path.dirname(ckpt.rstrip("/"))) or ckpt] = (
+            params, cfg
+        )
+    any_cfg = next(iter(models.values()))[1]
+
+    if args.images:
+        images = [prepare_image(p, any_cfg, mean, std) for p in args.images]
+    else:
+        rng = np.random.default_rng(args.seed)
+        arr = rng.integers(
+            0, 256, (any_cfg.input_size, any_cfg.input_size,
+                     any_cfg.input_channels), np.uint8
+        )
+        images = [prepare_image(arr, any_cfg, mean, std)]
+
+    os.makedirs(args.out, exist_ok=True)
+    for name, (params, cfg) in models.items():
+        for i, img in enumerate(images):
+            result = run_one_image(
+                params, cfg, img, jax.random.key(args.seed), args.mask_ratio
+            )
+            plot_reconstruction(
+                result, os.path.join(args.out, f"{name}_img{i}.png"),
+                mean, std, title=f"{name} loss={result['loss']:.4f}",
+            )
+
+    noise_kinds = [None] + list(args.noise)
+    sweep = run_eval(
+        models, images, mean, std, metrics=args.metrics,
+        noise_kinds=noise_kinds, noise_amount=args.noise_amount,
+        mask_ratio=args.mask_ratio, seed=args.seed,
+    )
+    rank0_print(json.dumps(sweep, indent=2))
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump(sweep, f, indent=2)
+    return sweep
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

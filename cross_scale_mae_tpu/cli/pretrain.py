@@ -1,0 +1,281 @@
+"""Pretraining entry point.
+
+CLI-compatible redesign of ``main_pretrain.py`` (660 LoC): same model-name
+registry surface (``--model mae_vit_base_MsLdCeCd``), loss selection, lr
+scaling rule (lr = blr * eff_batch/256, ``main_pretrain.py:411-412``),
+per-epoch checkpointing cadence and reconstruction plots — with the whole
+step (augment + two-view forward + losses + backward + AdamW) compiled into
+one XLA program over the device mesh.
+
+Usage:
+    python -m cross_scale_mae_tpu.cli.pretrain \
+        --model mae_vit_base_MsLdCeCd --dataset_type fmow_rgb \
+        --train_path train.csv --batch_size 512 --epochs 400 --input_size 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cross_scale_mae_tpu.cli.common import (
+    add_data_args,
+    add_runtime_args,
+    encode_run_name,
+    make_loader,
+    setup_runtime,
+)
+from cross_scale_mae_tpu.configs import TrainConfig, get_mae_config, mae_model_names
+from cross_scale_mae_tpu.data import DATASET_STATS, build_dataset
+from cross_scale_mae_tpu.models import mae_init
+from cross_scale_mae_tpu.ops.augment import make_pretrain_augment
+from cross_scale_mae_tpu.parallel import batch_sharding, shard_train_state
+from cross_scale_mae_tpu.train import TrainState, build_optimizer, warmup_half_cosine
+from cross_scale_mae_tpu.train.pretrain import make_pretrain_step
+from cross_scale_mae_tpu.utils.checkpoint import (
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from cross_scale_mae_tpu.utils.logging import RunLogger, epoch_1000x, rank0_print
+from cross_scale_mae_tpu.utils.metrics import MetricLogger
+
+
+def get_args_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("Cross-Scale MAE pretraining (TPU)",
+                                add_help=False)
+    # Model (main_pretrain.py:63-173 flag surface)
+    p.add_argument("--model", default="mae_vit_base_MsLdCeCd")
+    p.add_argument("--input_size", default=128, type=int)
+    p.add_argument("--patch_size", default=16, type=int)
+    p.add_argument("--mask_ratio", default=0.75, type=float)
+    p.add_argument(
+        "--loss", default="mse",
+        choices=["mse", "l2", "mae", "l1", "bce", "ssim", "ms_ssim",
+                 "mse_ssim", "mse_ms_ssim"],
+    )
+    p.add_argument("--norm_pix_loss", action="store_true")
+    p.add_argument("--loss_e", default=None)
+    p.add_argument("--loss_ce", default=None)
+    p.add_argument("--loss_cd", default=None)
+    p.add_argument("--ms_range", default=(0.25, 0.75), type=float, nargs=2)
+    p.add_argument("--ms_decoder_loss_reduction", default="sum",
+                   choices=["sum", "mean"])
+    p.add_argument("--batch_crop", action="store_true",
+                   help="one shared crop box per batch (reference behavior)")
+    p.add_argument("--consistent_mask", action="store_true")
+    p.add_argument("--mask_seed", default=None, type=int)
+    p.add_argument("--use_perceptual_loss", action="store_true")
+    p.add_argument("--apply_encoder_norm", action="store_true")
+    # Optimization (main_pretrain.py:174-240)
+    p.add_argument("--epochs", default=400, type=int)
+    p.add_argument("--warmup_epochs", default=40, type=int)
+    p.add_argument("--batch_size", default=512, type=int,
+                   help="global batch per optimizer step (pre-accum)")
+    p.add_argument("--accum_iter", default=1, type=int)
+    p.add_argument("--blr", default=5e-5, type=float)
+    p.add_argument("--lr", default=None, type=float)
+    p.add_argument("--min_lr", default=0.0, type=float)
+    p.add_argument("--weight_decay", default=0.05, type=float)
+    p.add_argument("--clip_grad", default=None, type=float)
+    p.add_argument("--ckpt_interval", default=25, type=int)
+    p.add_argument("--plot_recon", action="store_true",
+                   help="save reconstruction plots at checkpoint epochs")
+    p.add_argument("--max_steps", default=None, type=int,
+                   help="hard step cap (smoke tests)")
+    add_data_args(p, pretrain=True)
+    add_runtime_args(p)
+    return p
+
+
+def main(args) -> dict:
+    ctx = setup_runtime(args)
+    mesh = ctx["mesh"]
+    rank0_print(f"devices: {ctx['global_devices']} mesh: {dict(mesh.shape)}")
+
+    # ---- config
+    cfg = get_mae_config(
+        args.model,
+        input_size=args.input_size,
+        patch_size=args.patch_size,
+        mask_ratio=args.mask_ratio,
+        loss=args.loss,
+        norm_pix_loss=args.norm_pix_loss,
+        loss_e=args.loss_e, loss_ce=args.loss_ce, loss_cd=args.loss_cd,
+        ms_range=tuple(args.ms_range),
+        ms_decoder_loss_reduction=args.ms_decoder_loss_reduction,
+        ms_per_sample_crop=not args.batch_crop,
+        use_perceptual=args.use_perceptual_loss,
+        apply_encoder_norm=args.apply_encoder_norm,
+        compute_dtype=args.compute_dtype,
+        attention_impl=args.attention_impl,
+        remat=args.remat,
+    )
+    tcfg = TrainConfig(
+        epochs=args.epochs, warmup_epochs=args.warmup_epochs,
+        batch_size=args.batch_size, accum_iter=args.accum_iter,
+        blr=args.blr, lr=args.lr, min_lr=args.min_lr,
+        weight_decay=args.weight_decay, clip_grad=args.clip_grad,
+        seed=args.seed, log_interval=args.log_interval,
+        ckpt_interval_epochs=args.ckpt_interval,
+        consistent_mask=args.consistent_mask,
+    )
+
+    # ---- data
+    dataset = build_dataset(
+        args.dataset_type, True,
+        train_path=args.train_path, test_path=args.test_path,
+        input_size=args.input_size, canvas_scale=args.canvas_scale,
+        masked_bands=args.masked_bands, dropped_bands=args.dropped_bands,
+        synthetic_len=args.synthetic_len,
+    )
+    per_host_batch = args.batch_size // jax.process_count()
+    loader = make_loader(args, dataset, per_host_batch, seed=args.seed)
+    steps_per_epoch = loader.steps_per_epoch()
+    assert steps_per_epoch > 0, "dataset smaller than one batch"
+    eff_batch = args.batch_size * args.accum_iter
+    lr = tcfg.resolved_lr(eff_batch)
+    rank0_print(
+        f"dataset {args.dataset_type}: {len(dataset)} samples, "
+        f"{steps_per_epoch} steps/epoch, lr {lr:.3e} (blr {args.blr})"
+    )
+
+    # ---- model/optimizer/state
+    schedule = warmup_half_cosine(
+        lr, args.min_lr, args.warmup_epochs, args.epochs, steps_per_epoch
+    )
+    params, mstate = mae_init(jax.random.key(args.seed), cfg)
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    rank0_print(f"model {args.model}: {n_params / 1e6:.1f}M params")
+    tx = build_optimizer(
+        params, schedule, weight_decay=args.weight_decay,
+        b1=tcfg.adam_b1, b2=tcfg.adam_b2, clip_grad=args.clip_grad,
+    )
+    state = TrainState.create(params, mstate, tx)
+    state = shard_train_state(mesh, state, tensor_parallel=args.model_parallel > 1)
+
+    start_epoch = 0
+    if args.resume and latest_step(args.resume) is not None:
+        state, meta = restore_checkpoint(args.resume, state)
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        rank0_print(f"resumed from {args.resume} at epoch {start_epoch}")
+
+    # ---- augmentation fused into the step
+    mean, std = dataset.mean, dataset.std
+    augment = make_pretrain_augment(
+        mean, std, args.input_size,
+        normalize=dataset.normalize_on_device, dtype=args.compute_dtype,
+    )
+    step_fn = make_pretrain_step(cfg, tcfg, schedule, augment=augment)
+    data_sharding = batch_sharding(mesh)
+
+    # ---- logging
+    run_name = encode_run_name(
+        model=args.model, loss=args.loss, in_sz=args.input_size,
+        p_sz=args.patch_size, lr=lr, ds=args.dataset_type,
+    )
+    output_dir = os.path.join(args.output_dir, run_name)
+    logger = RunLogger(
+        output_dir, args.use_tensorboard, args.use_wandb, args.wandb_project,
+        run_name, config=json.loads(cfg.to_json()),
+    )
+    rank0_print(f"output dir: {output_dir}")
+
+    # ---- epoch loop
+    rng = jax.random.key(args.seed + 1)
+    total_steps = 0
+    last_metrics = {}
+    t_start = time.time()
+    for epoch in range(start_epoch, args.epochs):
+        mlog = MetricLogger(print_fn=rank0_print)
+        epoch_t0 = time.time()
+        pending = None
+        for it, (imgs, labels) in enumerate(
+            mlog.log_every(loader.epoch(epoch), args.log_interval,
+                           header=f"Epoch [{epoch}]", total=steps_per_epoch)
+        ):
+            batch = jax.device_put(imgs, data_sharding)
+            state, metrics = step_fn(state, batch, rng)
+            # Async metric fetch: only sync every log_interval steps
+            # (vs. the reference's 3 syncs per step, engine_pretrain.py:55-79).
+            if it % args.log_interval == 0:
+                fetched = {k: float(v) for k, v in metrics.items()}
+                if not np.isfinite(fetched["loss"]):
+                    raise FloatingPointError(
+                        f"Loss is {fetched['loss']}, stopping training"
+                    )  # NaN abort, engine_pretrain.py:57-59
+                mlog.update(**fetched)
+                last_metrics = fetched
+                logger.log_step(
+                    epoch_1000x(epoch + it / steps_per_epoch), fetched
+                )
+            total_steps += 1
+            if args.max_steps and total_steps >= args.max_steps:
+                break
+        epoch_time = time.time() - epoch_t0
+        imgs_per_sec = steps_per_epoch * per_host_batch / max(epoch_time, 1e-9)
+        payload = {
+            "epoch": epoch, "epoch_time_s": epoch_time,
+            "imgs_per_sec_per_host": imgs_per_sec,
+            **{f"train_{k}": v for k, v in last_metrics.items()},
+        }
+        logger.log_epoch(payload)
+
+        should_ckpt = (
+            args.output_dir
+            and ((epoch + 1) % args.ckpt_interval == 0 or epoch + 1 == args.epochs)
+        )
+        if should_ckpt:
+            save_checkpoint(
+                os.path.join(output_dir, "checkpoints"),
+                int(jax.device_get(state.step)), state,
+                config_json=cfg.to_json(), extra={"epoch": epoch},
+            )
+            if args.plot_recon:
+                _plot_epoch_recon(
+                    state, cfg, dataset, mean, std, output_dir, epoch
+                )
+        if args.max_steps and total_steps >= args.max_steps:
+            break
+
+    wall = time.time() - t_start
+    rank0_print(f"training done in {wall:.1f}s ({total_steps} steps)")
+    logger.close()
+    return {"steps": total_steps, "last_metrics": last_metrics,
+            "output_dir": output_dir}
+
+
+def _plot_epoch_recon(state, cfg, dataset, mean, std, output_dir, epoch):
+    """Per-checkpoint reconstruction plots (main_pretrain.py:590-626)."""
+    import jax
+
+    from cross_scale_mae_tpu.ops.image import normalize_images
+    from cross_scale_mae_tpu.viz import plot_reconstruction, run_one_image
+
+    if jax.process_index() != 0:
+        return
+    img, _ = dataset.load(0)
+    x = jnp.asarray(img.astype(np.float32) / 255.0)
+    if dataset.normalize_on_device:
+        x = normalize_images(x, mean, std)
+    if x.shape[0] != cfg.input_size:
+        from cross_scale_mae_tpu.ops.image import center_crop_resize
+
+        x = center_crop_resize(x[None], cfg.input_size)[0]
+    result = run_one_image(state.params, cfg, x[None], jax.random.key(0))
+    plot_reconstruction(
+        result,
+        os.path.join(output_dir, "reconstructions", f"epoch_{epoch:04d}.png"),
+        mean, std, title=f"epoch {epoch} loss {result['loss']:.4f}",
+    )
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

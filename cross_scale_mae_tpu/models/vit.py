@@ -83,7 +83,8 @@ def _drop_path_scan(
         # semantics; applied to the block delta, scaled by keep prob).
         keep = 1.0 - rate
         mask = jax.random.bernoulli(key, keep, (carry.shape[0], 1, 1))
-        out = carry + (out - carry) * mask.astype(carry.dtype) / keep
+        scale = (mask.astype(jnp.float32) / keep).astype(carry.dtype)
+        out = carry + (out - carry) * scale
         return out, None
 
     if remat:

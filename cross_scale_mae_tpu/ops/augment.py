@@ -1,0 +1,72 @@
+"""Fused on-device preprocessing pipelines (uint8 batch -> model input).
+
+The reference runs this chain on CPU workers per image
+(``util/datasets.py:123-158``): ToTensor -> Normalize -> HFlip -> VFlip ->
+RandomResizedCrop(scale (0.25,1.0), bicubic) for train; Resize(x/0.875) ->
+CenterCrop for eval. Here the same chain is a jit-able function executed on
+device as part of the train step (BASELINE.json north-star requirement), so
+the host ships raw uint8 and the augmentation rides the MXU/VPU.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from cross_scale_mae_tpu.ops.image import (
+    center_crop_resize,
+    normalize_images,
+    random_flips,
+    random_resized_crop,
+)
+
+
+def make_pretrain_augment(
+    mean: Sequence[float],
+    std: Sequence[float],
+    input_size: int,
+    *,
+    scale: tuple[float, float] = (0.25, 1.0),
+    hflip: bool = True,
+    vflip: bool = True,
+    method: str = "cubic",
+    normalize: bool = True,
+    dtype: str = "float32",
+) -> Callable[[jax.Array, jnp.ndarray], jnp.ndarray]:
+    """Train-time chain (util/datasets.py:123-138), fused on device."""
+
+    def augment(rng: jax.Array, batch_u8: jnp.ndarray) -> jnp.ndarray:
+        k_flip, k_crop = jax.random.split(rng)
+        x = batch_u8.astype(jnp.dtype(dtype)) / 255.0
+        if normalize:
+            x = normalize_images(x, mean, std)
+        x = random_flips(k_flip, x, hflip, vflip)
+        x = random_resized_crop(k_crop, x, input_size, scale, method=method)
+        return x
+
+    return augment
+
+
+def make_eval_preprocess(
+    mean: Sequence[float],
+    std: Sequence[float],
+    input_size: int,
+    *,
+    normalize: bool = True,
+    dtype: str = "float32",
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Eval chain: Normalize -> Resize(1/0.875) -> CenterCrop
+    (util/datasets.py:140-158). The host canvas should be
+    input_size/0.875-sized (data/datasets.py canvas_scale)."""
+
+    def preprocess(batch_u8: jnp.ndarray) -> jnp.ndarray:
+        x = batch_u8.astype(jnp.dtype(dtype)) / 255.0
+        if normalize:
+            x = normalize_images(x, mean, std)
+        if x.shape[1] != input_size:
+            x = center_crop_resize(x, input_size)
+        return x
+
+    return preprocess

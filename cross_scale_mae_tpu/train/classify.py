@@ -28,8 +28,11 @@ def make_classify_train_step(
     tcfg: TrainConfig,
     schedule: Callable,
     donate: bool = True,
+    augment: Callable | None = None,
 ) -> Callable:
-    """step(state, imgs, labels, rng) -> (state, metrics)."""
+    """step(state, imgs, labels, rng) -> (state, metrics). ``augment`` (from
+    ops/augment.py) moves the dataset transform chain on device; imgs are
+    then raw uint8."""
 
     use_mix = tcfg.mixup > 0 or tcfg.cutmix > 0
 
@@ -42,7 +45,9 @@ def make_classify_train_step(
 
     def step(state: TrainState, imgs, labels, rng):
         rng = jax.random.fold_in(rng, state.step)
-        k_mix, k_model = jax.random.split(rng)
+        k_aug, k_mix, k_model = jax.random.split(rng, 3)
+        if augment is not None:
+            imgs = augment(k_aug, imgs)
         if use_mix:
             imgs, targets = mixup_cutmix(
                 k_mix, imgs, labels, cfg.num_classes,
@@ -66,14 +71,17 @@ def make_classify_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(cfg: ViTClassifierConfig) -> Callable:
+def make_eval_step(cfg: ViTClassifierConfig, preprocess: Callable | None = None) -> Callable:
     """step(params, model_state, imgs, labels) -> metrics + logits.
 
     Mirrors engine_finetune.evaluate's per-batch work (:127-160); top-5 and
     F1/mIoU aggregation happen host-side over the epoch (utils/metrics.py).
+    ``preprocess`` (ops/augment.make_eval_preprocess) runs on device.
     """
 
     def step(params, model_state, imgs, labels):
+        if preprocess is not None:
+            imgs = preprocess(imgs)
         logits, _ = vit_apply(params, model_state, cfg, imgs, train=False)
         loss = jnp.mean(
             -jnp.take_along_axis(

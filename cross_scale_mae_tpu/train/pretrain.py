@@ -28,14 +28,20 @@ def make_pretrain_step(
     tcfg: TrainConfig,
     schedule: Callable[[jnp.ndarray], jnp.ndarray],
     donate: bool = True,
+    augment: Callable | None = None,
 ) -> Callable:
     """Returns jit-compiled ``step(state, batch, rng) -> (state, metrics)``.
 
-    batch: (B, H, W, C) normalized images. With ``tcfg.accum_iter > 1``, B
-    must divide evenly into microbatches.
+    batch: (B, H, W, C) normalized images — or raw uint8 when ``augment``
+    (ops/augment.py) is given, in which case the whole dataset transform
+    chain runs on device inside this same XLA program.
+    With ``tcfg.accum_iter > 1``, B must divide evenly into microbatches.
     """
 
     def loss_fn(params, model_state, imgs, rng):
+        if augment is not None:
+            k_aug, rng = jax.random.split(rng)
+            imgs = augment(k_aug, imgs)
         out = mae_loss_fn(
             params, model_state, cfg, imgs, rng,
             train=True, consistent_mask=tcfg.consistent_mask,

@@ -1,0 +1,123 @@
+"""Checkpoint save/restore with config-in-checkpoint (Orbax).
+
+Replaces ``util/misc.py:358-411`` (rank-0 ``torch.save`` of
+{model, optimizer, epoch, scaler, args}). The TPU equivalent keeps the two
+properties the reference relies on:
+
+* **config travels with the checkpoint** — ``viz.prepare_model``
+  (util/viz.py:74-79) rebuilds the model from ckpt-stored args; here a
+  ``config.json`` is written beside each step directory;
+* resume restores params + optimizer + epoch (and, fixed relative to the
+  reference, the epoch loop actually *uses* it — main_pretrain.py:554-555
+  ignores its own restored start_epoch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+import orbax.checkpoint as ocp
+
+
+def _abs(path: str) -> str:
+    return os.path.abspath(os.path.expanduser(path))
+
+
+def save_checkpoint(
+    ckpt_dir: str,
+    step: int,
+    train_state,
+    config_json: Optional[str] = None,
+    extra: Optional[dict[str, Any]] = None,
+) -> None:
+    """Write {params, model_state, opt_state, step} (+ config sidecar)."""
+    ckpt_dir = _abs(ckpt_dir)
+    if jax.process_index() == 0:
+        os.makedirs(ckpt_dir, exist_ok=True)
+    payload = {
+        "params": train_state.params,
+        "model_state": train_state.model_state,
+        "opt_state": train_state.opt_state,
+        "step": train_state.step,
+    }
+    with ocp.CheckpointManager(ckpt_dir) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(payload))
+        mgr.wait_until_finished()
+    if jax.process_index() == 0:
+        meta = {"step": int(step)}
+        if extra:
+            meta.update(extra)
+        if config_json is not None:
+            meta["config"] = json.loads(config_json)
+        with open(os.path.join(ckpt_dir, f"meta-{step}.json"), "w") as f:
+            json.dump(meta, f)
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    ckpt_dir = _abs(ckpt_dir)
+    if not os.path.isdir(ckpt_dir):
+        return None
+    with ocp.CheckpointManager(ckpt_dir) as mgr:
+        return mgr.latest_step()
+
+
+def restore_checkpoint(ckpt_dir: str, train_state, step: Optional[int] = None):
+    """Restore into the (abstract or concrete) train_state template.
+    Returns (train_state, meta dict)."""
+    ckpt_dir = _abs(ckpt_dir)
+    template = {
+        "params": train_state.params,
+        "model_state": train_state.model_state,
+        "opt_state": train_state.opt_state,
+        "step": train_state.step,
+    }
+    with ocp.CheckpointManager(ckpt_dir) as mgr:
+        step = step if step is not None else mgr.latest_step()
+        assert step is not None, f"no checkpoints in {ckpt_dir}"
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    meta_path = os.path.join(ckpt_dir, f"meta-{step}.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return (
+        train_state.replace(
+            params=restored["params"],
+            model_state=restored["model_state"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        ),
+        meta,
+    )
+
+
+def save_params_npz(path: str, params: Any, config_json: Optional[str] = None):
+    """Portable single-file export (flat npz of numpy leaves) — the analogue
+    of shipping a .pth; used for released-weight interchange."""
+    flat = {}
+    for kp, leaf in jax.tree_util.tree_leaves_with_path(params):
+        key = "/".join(str(getattr(p, "key", getattr(p, "name", p))) for p in kp)
+        flat[key] = np.asarray(leaf)
+    if config_json is not None:
+        flat["__config__"] = np.frombuffer(config_json.encode(), np.uint8)
+    np.savez(path, **flat)
+
+
+def load_params_npz(path: str, params_template: Any) -> tuple[Any, Optional[str]]:
+    data = np.load(path)
+    config_json = None
+    if "__config__" in data:
+        config_json = bytes(data["__config__"]).decode()
+
+    def fill(kp, leaf):
+        key = "/".join(str(getattr(p, "key", getattr(p, "name", p))) for p in kp)
+        arr = data[key]
+        assert arr.shape == leaf.shape, (key, arr.shape, leaf.shape)
+        return arr.astype(leaf.dtype)
+
+    return jax.tree_util.tree_map_with_path(fill, params_template), config_json
