@@ -28,6 +28,8 @@ def add_runtime_args(p: argparse.ArgumentParser):
     g.add_argument("--wandb_project", default="cross_scale_mae_tpu")
     g.add_argument("--log_interval", default=20, type=int)
     g.add_argument("--attention_impl", default="xla", choices=["xla", "pallas"])
+    g.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of steps 10-30 here")
     g.add_argument("--remat", action="store_true",
                    help="rematerialize blocks (trade FLOPs for HBM)")
     g.add_argument("--compute_dtype", default="bfloat16")

@@ -1,0 +1,86 @@
+"""CLI surface tests: parser defaults match the reference's canonical
+hyperparameters; end-to-end smoke runs on the CPU mesh via main()."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+class TestParsers:
+    def test_pretrain_defaults_match_reference(self):
+        from cross_scale_mae_tpu.cli.pretrain import get_args_parser
+
+        a = get_args_parser().parse_args([])
+        # train.sh:3-7 / main_pretrain.py defaults
+        assert a.model == "mae_vit_base_MsLdCeCd"
+        assert a.epochs == 400 and a.warmup_epochs == 40
+        assert a.batch_size == 512
+        assert a.input_size == 128 and a.patch_size == 16
+        assert a.mask_ratio == 0.75
+        assert a.blr == 5e-5 and a.weight_decay == 0.05
+        assert a.ckpt_interval == 25
+
+    def test_finetune_defaults(self):
+        from cross_scale_mae_tpu.cli.finetune import get_args_parser
+
+        a = get_args_parser().parse_args([])
+        # finetune.sh:7-8 / main_finetune.py:94-176
+        assert a.input_size == 64 and a.patch_size == 8
+        assert a.blr == 1e-3 and a.epochs == 100
+        assert a.layer_decay == 0.75
+        assert a.model == "vit_large_patch16"
+
+    def test_linprobe_defaults(self):
+        from cross_scale_mae_tpu.cli.linprobe import get_args_parser
+
+        a = get_args_parser().parse_args([])
+        # linprobe.sh:6-9 / main_linprobe.py:119-142
+        assert a.epochs == 50 and a.batch_size == 1024
+        assert a.input_size == 128 and a.blr == 0.1
+        assert a.weight_decay == 0.0
+
+    def test_model_registry_names(self):
+        from cross_scale_mae_tpu.configs import get_mae_config, mae_model_names
+
+        names = mae_model_names()
+        assert "mae_vit_base_MsLdCeCd" in names
+        assert "mae_vit_large" in names
+        assert len(names) == 5 * 7
+        for n in names:
+            cfg = get_mae_config(n)
+            assert cfg.dim_model > 0
+
+
+@pytest.mark.slow
+class TestEndToEnd:
+    """Tiny full runs through main() on the CPU mesh (slow: ~1 min each)."""
+
+    def test_pretrain_then_linprobe(self, tmp_path):
+        from cross_scale_mae_tpu.cli import linprobe, pretrain
+
+        out = str(tmp_path / "pt")
+        args = pretrain.get_args_parser().parse_args([
+            "--model", "mae_vit_tiny_MsLd", "--dataset_type", "synthetic",
+            "--synthetic_len", "64", "--input_size", "16", "--patch_size", "8",
+            "--batch_size", "16", "--epochs", "1", "--warmup_epochs", "0",
+            "--ckpt_interval", "1", "--output_dir", out,
+            "--compute_dtype", "float32", "--log_interval", "2",
+        ])
+        res = pretrain.main(args)
+        assert res["steps"] == 4
+        ckpt = os.path.join(res["output_dir"], "checkpoints")
+        assert os.path.isdir(ckpt)
+
+        args2 = linprobe.get_args_parser().parse_args([
+            "--model", "vit_base_patch16", "--embed_dim", "128",
+            "--depth", "4", "--num_heads", "8", "--input_size", "16",
+            "--patch_size", "8", "--finetune", ckpt,
+            "--dataset_type", "synthetic", "--synthetic_len", "64",
+            "--nb_classes", "4", "--batch_size", "16", "--epochs", "1",
+            "--warmup_epochs", "0", "--output_dir", str(tmp_path / "lin"),
+            "--compute_dtype", "float32", "--log_interval", "2",
+        ])
+        res2 = linprobe.main(args2)
+        assert 0.0 <= res2["max_acc"] <= 100.0
