@@ -102,6 +102,8 @@ def main():
         "b256_remat": (base.replace(remat=True), 256),
         "b128_pallas": (base.replace(attention_impl="pallas"), 128),
         "b128_f32aug": (base, 128),
+        "b128_flat": (base.replace(flat_blocks=True), 128),
+        "b128_flat_pallas": (base.replace(flat_blocks=True, attention_impl="pallas"), 128),
     }
     if args.variants:
         variants = {k: v for k, v in variants.items() if k in args.variants}

@@ -107,6 +107,9 @@ class MAEConfig:
     param_dtype: str = "float32"
     attention_impl: str = "xla"       # "xla" | "pallas"
     remat: bool = False               # jax.checkpoint each block
+    # Flat (N*L, D) scan carry: avoids sublane padding of the tiny
+    # sequence dim (see layers.run_blocks_flat).
+    flat_blocks: bool = False
 
     @property
     def grid_size(self) -> int:

@@ -92,7 +92,12 @@ def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
 
 
 def attention(p: Params, x: jnp.ndarray, num_heads: int, impl: str = "xla") -> jnp.ndarray:
-    """Multi-head self-attention with fused qkv (timm Attention layout)."""
+    """Multi-head self-attention with fused qkv (timm Attention layout).
+
+    Perf note (measured, round 1): explicitly flattening (N, L, D) ->
+    (N*L, D) for the qkv/proj matmuls REGRESSED the full step 105->117 ms —
+    XLA already folds batched matmuls onto the MXU efficiently here and the
+    extra reshapes cost copies. Keep the natural batched layout."""
     n, l, d = x.shape
     head_dim = d // num_heads
     qkv = linear(p["qkv"], x)  # (N, L, 3D)
@@ -148,6 +153,65 @@ def run_blocks(
         body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, stacked)
     return x
+
+
+def _attention_flat(p: Params, xf: jnp.ndarray, n: int, l: int, num_heads: int,
+                    impl: str) -> jnp.ndarray:
+    """Attention on a flattened (N*L, D) activation (see run_blocks_flat)."""
+    d = xf.shape[-1]
+    head_dim = d // num_heads
+    qkv = linear(p["qkv"], xf).reshape(n, l, 3, num_heads, head_dim)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    if impl == "pallas":
+        from cross_scale_mae_tpu.ops.attention import mha
+
+        out = mha(q, k, v)
+    else:
+        scale = head_dim ** -0.5
+        logits = jnp.einsum(
+            "nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        probs = jax.nn.softmax(logits, axis=-1).astype(xf.dtype)
+        out = jnp.einsum("nhqk,nkhd->nqhd", probs, v)
+    return linear(p["proj"], out.reshape(n * l, d))
+
+
+def run_blocks_flat(
+    stacked: Params,
+    x: jnp.ndarray,
+    num_heads: int,
+    impl: str = "xla",
+    norm_style: str = "pre",
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Scanned stack with a FLAT (N*L, D) carry.
+
+    Sequences here are 17-65 tokens; a (N, L, D) carry keeps L in the
+    sublane-tiled dim (padded 17->32 for bf16) on every elementwise op.
+    Flattening once around the whole stack — rather than per block — keeps
+    all LN/residual/MLP traffic unpadded; only attention's own reshape sees
+    the sequence axis."""
+    n, l, d = x.shape
+    xf = x.reshape(n * l, d)
+
+    def body(carry, p):
+        if norm_style == "pre":
+            carry = carry + _attention_flat(
+                p["attn"], layer_norm(p["norm1"], carry), n, l, num_heads, impl
+            )
+            carry = carry + mlp(p["mlp"], layer_norm(p["norm2"], carry))
+        else:
+            carry = layer_norm(
+                p["norm1"],
+                carry + _attention_flat(p["attn"], carry, n, l, num_heads, impl),
+            )
+            carry = layer_norm(p["norm2"], carry + mlp(p["mlp"], carry))
+        return carry, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    xf, _ = jax.lax.scan(body, xf, stacked)
+    return xf.reshape(n, l, d)
 
 
 # --------------------------------------------------- predictor MLP (+ BN)

@@ -145,7 +145,8 @@ def mae_forward_encoder(
     x, mask, ids_restore = random_masking(x, lk, rng=rng, noise=noise)
     cls = (params["cls_token"].astype(jnp.float32) + enc_pos[None, :1, :]).astype(dtype)
     x = jnp.concatenate([jnp.broadcast_to(cls, (x.shape[0], 1, x.shape[2])), x], axis=1)
-    x = layers.run_blocks(
+    run = layers.run_blocks_flat if cfg.flat_blocks else layers.run_blocks
+    x = run(
         params["encoder_blocks"], x, cfg.encoder_num_heads,
         cfg.attention_impl, cfg.residual_norm_style, cfg.remat,
     )
@@ -165,7 +166,8 @@ def mae_forward_decoder(
     y = jnp.concatenate([y[:, :1, :], y_grid], axis=1)
     _, dec_pos = _pos_tables(cfg)
     y = y + dec_pos[None].astype(y.dtype)
-    y = layers.run_blocks(
+    run = layers.run_blocks_flat if cfg.flat_blocks else layers.run_blocks
+    y = run(
         params["decoder_blocks"], y, cfg.decoder_num_heads,
         cfg.attention_impl, cfg.residual_norm_style, cfg.remat,
     )
@@ -301,6 +303,10 @@ def mae_loss_fn(
 
     if cfg.use_ce_ntxent:
         # NT-Xent between mean-pooled patch tokens (MAE_ViT_MsLdCeCd.py:62-69).
+        # Under data-parallel jit this sees the GLOBAL batch (XLA gathers
+        # across chips), i.e. more negatives than the reference's per-GPU
+        # NT-Xent under DDP — a deliberate strengthening; match-local would
+        # need a shard_map escape hatch.
         f1 = jnp.mean(enc_o[:, 1:, :].astype(jnp.float32), axis=1)
         f2 = jnp.mean(enc_c[:, 1:, :].astype(jnp.float32), axis=1)
         loss_ce = ntxent_loss(f1, f2, tau=cfg.ntxent_tau, cos_sim=cfg.ntxent_cos_sim)

@@ -24,6 +24,47 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _softmax_fp32(logits):
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _mha_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                    *, scale: float):
+    """Full-recompute attention backward for one head-group block.
+
+    With L <= 257 the whole (L, L) probability matrix sits in VMEM, so the
+    flash-style streaming backward is unnecessary — one recompute pass:
+      dV = Pᵀ dO;  dS = P ∘ (dP − rowsum(dP ∘ P));  dQ = dS·K;  dK = dSᵀ·Q.
+    """
+    q = q_ref[:].astype(jnp.float32)
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+    do = do_ref[:].astype(jnp.float32)
+    logits = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale
+    p = _softmax_fp32(logits)  # (G, L, L)
+    dv = jax.lax.dot_general(
+        p, do, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (G, L, hd): sum_q p[q,l] do[q,d]
+    dp = jax.lax.dot_general(
+        do, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # (G, L, L)
+    row = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - row) * scale
+    dq = jax.lax.dot_general(
+        ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    dk = jax.lax.dot_general(
+        ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     # Blocks: (G, L, hd) — G = heads-per-program group.
     q = q_ref[:].astype(jnp.float32)
@@ -45,37 +86,89 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[:] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_mha(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool = False
-) -> jnp.ndarray:
-    """q, k, v: (N, L, H, hd) -> (N, L, H, hd). Softmax(QKᵀ/√hd)V per head."""
-    n, l, h, hd = q.shape
-    scale = hd ** -0.5
-    # Fold batch and heads; group heads so each program does a (G*L, ...)
-    # amount of work that tiles well.
-    bh = n * h
+def _group_for(bh: int) -> int:
     group = 8
     while bh % group:
         group //= 2
-    qf = q.transpose(0, 2, 1, 3).reshape(bh, l, hd)
-    kf = k.transpose(0, 2, 1, 3).reshape(bh, l, hd)
-    vf = v.transpose(0, 2, 1, 3).reshape(bh, l, hd)
+    return group
+
+
+def _fold(x):
+    n, l, h, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(n * h, l, hd)
+
+
+def _unfold(x, n, h):
+    bh, l, hd = x.shape
+    return x.reshape(n, h, l, hd).transpose(0, 2, 1, 3)
+
+
+def _mha_fwd_call(qf, kf, vf, interpret):
+    bh, l, hd = qf.shape
+    group = _group_for(bh)
+    scale = hd ** -0.5
     spec = pl.BlockSpec((group, l, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_mha_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((bh, l, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, l, hd), qf.dtype),
         grid=(bh // group,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * bh * l * l * hd,
-            bytes_accessed=4 * bh * l * hd * q.dtype.itemsize,
+            bytes_accessed=4 * bh * l * hd * qf.dtype.itemsize,
             transcendentals=bh * l * l,
         ),
     )(qf, kf, vf)
-    return out.reshape(n, h, l, hd).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _mha_folded(qf, kf, vf, interpret):
+    return _mha_fwd_call(qf, kf, vf, interpret)
+
+
+def _mha_folded_fwd(qf, kf, vf, interpret):
+    return _mha_fwd_call(qf, kf, vf, interpret), (qf, kf, vf)
+
+
+def _mha_folded_bwd(interpret, res, do):
+    qf, kf, vf = res
+    bh, l, hd = qf.shape
+    group = _group_for(bh)
+    scale = hd ** -0.5
+    spec = pl.BlockSpec((group, l, hd), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((bh, l, hd), qf.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_mha_bwd_kernel, scale=scale),
+        out_shape=(shape, shape, shape),
+        grid=(bh // group,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * l * l * hd,
+            bytes_accessed=7 * bh * l * hd * qf.dtype.itemsize,
+            transcendentals=bh * l * l,
+        ),
+    )(qf, kf, vf, do)
+    return dq, dk, dv
+
+
+_mha_folded.defvjp(_mha_folded_fwd, _mha_folded_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_mha(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """q, k, v: (N, L, H, hd) -> (N, L, H, hd). Softmax(QKᵀ/√hd)V per head.
+
+    Differentiable: custom VJP with a one-pass full-recompute backward
+    kernel (_mha_bwd_kernel)."""
+    n, l, h, hd = q.shape
+    out = _mha_folded(_fold(q), _fold(k), _fold(v), interpret)
+    return _unfold(out, n, h)
 
 
 def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:

@@ -221,3 +221,21 @@ class TestAttentionImpls:
         ref = xla_mha(q, k, v)
         got = pallas_mha(q, k, v, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_pallas_vjp_matches_xla(self):
+        from cross_scale_mae_tpu.ops.attention import pallas_mha, xla_mha
+
+        rng = np.random.default_rng(1)
+        q, k, v = (
+            jnp.asarray(rng.normal(size=(2, 16, 4, 8)).astype(np.float32))
+            for _ in range(3)
+        )
+        g_ref = jax.grad(
+            lambda q, k, v: (xla_mha(q, k, v) ** 2).sum(), argnums=(0, 1, 2)
+        )(q, k, v)
+        g_pal = jax.grad(
+            lambda q, k, v: (pallas_mha(q, k, v, interpret=True) ** 2).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(g_ref, g_pal):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

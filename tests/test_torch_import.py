@@ -173,6 +173,64 @@ def test_full_forward_parity(golden, cfg):
     np.testing.assert_allclose(np.asarray(pred), ref_pred, atol=2e-4)
 
 
+def test_gradient_parity_with_torch_autograd(golden, cfg):
+    """Backward-pass parity: d(mse_loss)/d(params) matches torch autograd
+    on the imported weights (mask_ratio=0 deterministic path)."""
+    from cross_scale_mae_tpu.losses.recon import process_target
+    from cross_scale_mae_tpu.losses import recon_loss
+    from cross_scale_mae_tpu.ops.pos_embed import get_2d_sincos_pos_embed
+
+    model, path = golden
+    params = import_mae_checkpoint(path, cfg)
+    rng = np.random.default_rng(3)
+    imgs = rng.normal(size=(2, S, S, 3)).astype(np.float32)
+
+    # --- torch side
+    enc_pos = torch.from_numpy(
+        np.asarray(get_2d_sincos_pos_embed(D, S // P, cls_token=True))
+    )[None].float()
+    dec_pos = torch.from_numpy(
+        np.asarray(get_2d_sincos_pos_embed(DD, S // P, cls_token=True))
+    )[None].float()
+    timgs = torch.from_numpy(imgs.transpose(0, 3, 1, 2).copy())
+    model.zero_grad()
+    x = model.patch_embed(timgs) + enc_pos[:, 1:, :]
+    cls = model.cls_token + enc_pos[:, :1, :]
+    x = torch.cat([cls.expand(x.shape[0], -1, -1), x], dim=1)
+    for blk in model.encoder:
+        x = blk(x)
+    y = model.decoder_embed(x) + dec_pos
+    for blk in model.decoder:
+        y = blk(y)
+    y = model.decoder_norm(y)
+    pred_t = model.decoder_pred(y)[:, 1:, :]
+    # target: patchify + masked-mean with mask == all ones
+    tgt = timgs.reshape(2, 3, S // P, P, S // P, P)
+    tgt = torch.einsum("nchpwq->nhwpqc", tgt).reshape(2, -1, P * P * 3)
+    loss_t = ((pred_t - tgt) ** 2).mean()
+    loss_t.backward()
+    g_qkv_t = model.encoder[0].attn.qkv.weight.grad.numpy()  # (3D, D)
+    g_pe_t = model.patch_embed.proj.weight.grad.numpy()      # (D, 3, P, P)
+
+    # --- jax side (mask of zeros == all patches 'visible'; use mask=None
+    # to match the torch plain mean)
+    def loss_fn(p):
+        enc, mask, ids = mae_forward_encoder(
+            p, cfg, jnp.asarray(imgs), rng=jax.random.key(0)
+        )
+        pred, _ = mae_forward_decoder(p, cfg, enc, ids)
+        target = process_target(jnp.asarray(imgs), P, 3, False)
+        return recon_loss("mse", target, pred, None)
+
+    grads = jax.grad(loss_fn)(params)
+    g_qkv_j = np.asarray(grads["encoder_blocks"]["attn"]["qkv"]["kernel"])[0].T
+    np.testing.assert_allclose(g_qkv_j, g_qkv_t, atol=2e-5)
+    g_pe_j = np.asarray(grads["patch_embed"]["kernel"])  # (P*P*3, D)
+    g_pe_t_flat = g_pe_t.transpose(2, 3, 1, 0).reshape(P * P * 3, D)
+    np.testing.assert_allclose(g_pe_j, g_pe_t_flat, atol=2e-5)
+    np.testing.assert_allclose(float(loss_fn(params)), float(loss_t), rtol=1e-5)
+
+
 def test_patch_embed_conv_equivalence(golden, cfg):
     from cross_scale_mae_tpu.models.layers import linear
     from cross_scale_mae_tpu.ops.patchify import patchify
