@@ -93,4 +93,7 @@ def main(args) -> dict:
 
 
 if __name__ == "__main__":
-    main(get_args_parser().parse_args())
+    import argparse as _ap
+
+    _parser = _ap.ArgumentParser(parents=[get_args_parser()])
+    main(_parser.parse_args())

@@ -286,4 +286,7 @@ def _plot_epoch_recon(state, cfg, dataset, mean, std, output_dir, epoch):
 
 
 if __name__ == "__main__":
-    main(get_args_parser().parse_args())
+    import argparse as _ap
+
+    _parser = _ap.ArgumentParser(parents=[get_args_parser()])
+    main(_parser.parse_args())
