@@ -104,6 +104,9 @@ def main():
         "b128_f32aug": (base, 128),
         "b128_flat": (base.replace(flat_blocks=True), 128),
         "b128_flat_pallas": (base.replace(flat_blocks=True, attention_impl="pallas"), 128),
+        "b128_unroll": (base.replace(scan_blocks=False), 128),
+        "b128_unroll_pallas": (base.replace(scan_blocks=False, attention_impl="pallas"), 128),
+        "b256_unroll_remat": (base.replace(scan_blocks=False, remat=True), 256),
     }
     if args.variants:
         variants = {k: v for k, v in variants.items() if k in args.variants}

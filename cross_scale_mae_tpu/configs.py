@@ -110,6 +110,9 @@ class MAEConfig:
     # Flat (N*L, D) scan carry: avoids sublane padding of the tiny
     # sequence dim (see layers.run_blocks_flat).
     flat_blocks: bool = False
+    # False = unrolled layer loop (no scan residual-stacking copies —
+    # measurably faster in training; slower to compile). See layers.run_blocks.
+    scan_blocks: bool = True
 
     @property
     def grid_size(self) -> int:

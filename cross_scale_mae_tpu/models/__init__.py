@@ -3,6 +3,7 @@
 from cross_scale_mae_tpu.models.mae import (
     MAEOutput,
     mae_apply,
+    mae_encode,
     mae_forward_encoder,
     mae_init,
     mae_loss_fn,

@@ -142,8 +142,25 @@ def run_blocks(
     impl: str = "xla",
     norm_style: str = "pre",
     remat: bool = False,
+    scan: bool = True,
 ) -> jnp.ndarray:
-    """Apply a scanned stack of blocks (leading axis = layer)."""
+    """Apply a stack of blocks (leading axis = layer).
+
+    ``scan=True`` runs under ``lax.scan`` (O(1) compile in depth).
+    ``scan=False`` unrolls a Python loop over static layer slices —
+    **measured faster in training**: the scan backward stacks every
+    per-layer residual with dynamic-update-slice copies (~36% of the
+    flagship step in the round-1 profile); unrolled, residuals are plain
+    buffers with no stacking traffic. Compile time grows with depth, so
+    scan stays the default for tests/interactive use.
+    """
+    if not scan:
+        depth = jax.tree.leaves(stacked)[0].shape[0]
+        blk = jax.checkpoint(block, static_argnums=(2, 3, 4)) if remat else block
+        for i in range(depth):
+            layer = jax.tree.map(lambda a: a[i], stacked)
+            x = blk(layer, x, num_heads, impl, norm_style)
+        return x
 
     def body(carry, layer_params):
         out = block(layer_params, carry, num_heads, impl, norm_style)

@@ -145,11 +145,17 @@ def mae_forward_encoder(
     x, mask, ids_restore = random_masking(x, lk, rng=rng, noise=noise)
     cls = (params["cls_token"].astype(jnp.float32) + enc_pos[None, :1, :]).astype(dtype)
     x = jnp.concatenate([jnp.broadcast_to(cls, (x.shape[0], 1, x.shape[2])), x], axis=1)
-    run = layers.run_blocks_flat if cfg.flat_blocks else layers.run_blocks
-    x = run(
-        params["encoder_blocks"], x, cfg.encoder_num_heads,
-        cfg.attention_impl, cfg.residual_norm_style, cfg.remat,
-    )
+    if cfg.flat_blocks:
+        x = layers.run_blocks_flat(
+            params["encoder_blocks"], x, cfg.encoder_num_heads,
+            cfg.attention_impl, cfg.residual_norm_style, cfg.remat,
+        )
+    else:
+        x = layers.run_blocks(
+            params["encoder_blocks"], x, cfg.encoder_num_heads,
+            cfg.attention_impl, cfg.residual_norm_style, cfg.remat,
+            scan=cfg.scan_blocks,
+        )
     if cfg.apply_encoder_norm:
         # The reference computes-and-discards this norm (MAE_ViT_Baseline.py:264).
         x = layers.layer_norm(params["encoder_norm"], x)
@@ -166,11 +172,17 @@ def mae_forward_decoder(
     y = jnp.concatenate([y[:, :1, :], y_grid], axis=1)
     _, dec_pos = _pos_tables(cfg)
     y = y + dec_pos[None].astype(y.dtype)
-    run = layers.run_blocks_flat if cfg.flat_blocks else layers.run_blocks
-    y = run(
-        params["decoder_blocks"], y, cfg.decoder_num_heads,
-        cfg.attention_impl, cfg.residual_norm_style, cfg.remat,
-    )
+    if cfg.flat_blocks:
+        y = layers.run_blocks_flat(
+            params["decoder_blocks"], y, cfg.decoder_num_heads,
+            cfg.attention_impl, cfg.residual_norm_style, cfg.remat,
+        )
+    else:
+        y = layers.run_blocks(
+            params["decoder_blocks"], y, cfg.decoder_num_heads,
+            cfg.attention_impl, cfg.residual_norm_style, cfg.remat,
+            scan=cfg.scan_blocks,
+        )
     y = layers.layer_norm(params["decoder_norm"], y)
     pred = layers.linear(params["decoder_pred"], y)[:, 1:, :]
     return pred, y
@@ -203,6 +215,38 @@ def mae_apply(
         loss=loss, losses={"loss_d": loss}, pred=pred, mask=mask,
         enc_emb=(enc,), dec_emb=(dec,),
     )
+
+
+def mae_encode(
+    params: Params, cfg: MAEConfig, imgs: jnp.ndarray
+) -> jnp.ndarray:
+    """Unmasked encoder features for inference / transfer: (N, 1+L, D).
+
+    The deterministic no-masking pass (mask_ratio=0, identity order) — the
+    building block behind linear-probe feature extraction and embedding
+    serving. Equivalent to forward_encoder at mask_ratio=0 without the
+    shuffle."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    enc_pos, _ = _pos_tables(cfg)
+    x = patchify(imgs, cfg.patch_size).astype(dtype)
+    x = layers.linear(params["patch_embed"], x)
+    x = x + enc_pos[None, 1:, :].astype(dtype)
+    cls = (params["cls_token"].astype(jnp.float32) + enc_pos[None, :1, :]).astype(dtype)
+    x = jnp.concatenate([jnp.broadcast_to(cls, (x.shape[0], 1, x.shape[2])), x], axis=1)
+    if cfg.flat_blocks:
+        x = layers.run_blocks_flat(
+            params["encoder_blocks"], x, cfg.encoder_num_heads,
+            cfg.attention_impl, cfg.residual_norm_style, cfg.remat,
+        )
+    else:
+        x = layers.run_blocks(
+            params["encoder_blocks"], x, cfg.encoder_num_heads,
+            cfg.attention_impl, cfg.residual_norm_style, cfg.remat,
+            scan=cfg.scan_blocks,
+        )
+    if cfg.apply_encoder_norm:
+        x = layers.layer_norm(params["encoder_norm"], x)
+    return x
 
 
 def mae_loss_fn(

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from cross_scale_mae_tpu.configs import get_mae_config, get_vit_config
 from cross_scale_mae_tpu.models import (
     mae_apply,
+    mae_encode,
     mae_init,
     mae_loss_fn,
     vit_apply,
@@ -87,6 +88,15 @@ class TestBaseline:
         assert np.abs(w).max() <= limit + 1e-6
         b = np.asarray(params["encoder_blocks"]["attn"]["qkv"]["bias"])
         assert (b == 0).all()
+
+    def test_mae_encode_deterministic_features(self):
+        params, _ = mae_init(jax.random.key(0), TINY)
+        imgs = make_imgs()
+        feats = mae_encode(params, TINY, imgs)
+        assert feats.shape == (4, TINY.num_patches + 1, TINY.dim_model)
+        np.testing.assert_array_equal(
+            np.asarray(feats), np.asarray(mae_encode(params, TINY, imgs))
+        )
 
     def test_mask_seed_reproducible(self):
         params, _ = mae_init(jax.random.key(0), TINY)
