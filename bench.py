@@ -42,6 +42,10 @@ def main():
     cfg = get_mae_config(
         "mae_vit_base_MsLdCeCd", input_size=128, patch_size=16,
         mask_ratio=0.75, compute_dtype="bfloat16",
+        # Fastest measured plan (benchmarks/sweep.py, round 1): unrolled
+        # layer loop (kills scan residual-stacking copies) + Pallas fused
+        # attention with recompute backward. 1222 -> 1522 imgs/s/chip.
+        scan_blocks=False, attention_impl="pallas",
     )
     batch_per_chip = 128
     batch = batch_per_chip * n_chips

@@ -107,6 +107,8 @@ def main():
         "b128_unroll": (base.replace(scan_blocks=False), 128),
         "b128_unroll_pallas": (base.replace(scan_blocks=False, attention_impl="pallas"), 128),
         "b256_unroll_remat": (base.replace(scan_blocks=False, remat=True), 256),
+        "b160_unroll_pallas": (base.replace(scan_blocks=False, attention_impl="pallas"), 160),
+        "b192_unroll_pallas": (base.replace(scan_blocks=False, attention_impl="pallas"), 192),
     }
     if args.variants:
         variants = {k: v for k, v in variants.items() if k in args.variants}

@@ -90,6 +90,8 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="save reconstruction plots at checkpoint epochs")
     p.add_argument("--max_steps", default=None, type=int,
                    help="hard step cap (smoke tests)")
+    p.add_argument("--unroll_blocks", action="store_true",
+                   help="unrolled layer loop (faster steps, slower compile)")
     add_data_args(p, pretrain=True)
     add_runtime_args(p)
     return p
@@ -117,6 +119,7 @@ def main(args) -> dict:
         compute_dtype=args.compute_dtype,
         attention_impl=args.attention_impl,
         remat=args.remat,
+        scan_blocks=not args.unroll_blocks,
     )
     tcfg = TrainConfig(
         epochs=args.epochs, warmup_epochs=args.warmup_epochs,

@@ -89,6 +89,23 @@ class TestBaseline:
         b = np.asarray(params["encoder_blocks"]["attn"]["qkv"]["bias"])
         assert (b == 0).all()
 
+    def test_unrolled_matches_scanned(self):
+        # Execution-plan choice must not change numerics (incl. gradients).
+        cfg_u = TINY.replace(scan_blocks=False)
+        params, state = mae_init(jax.random.key(0), TINY)
+        imgs = make_imgs()
+        loss_s = mae_loss_fn(params, state, TINY, imgs, jax.random.key(1)).loss
+        loss_u = mae_loss_fn(params, state, cfg_u, imgs, jax.random.key(1)).loss
+        np.testing.assert_allclose(float(loss_s), float(loss_u), rtol=1e-6)
+        g_s = jax.grad(
+            lambda p: mae_loss_fn(p, state, TINY, imgs, jax.random.key(1)).loss
+        )(params)
+        g_u = jax.grad(
+            lambda p: mae_loss_fn(p, state, cfg_u, imgs, jax.random.key(1)).loss
+        )(params)
+        for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_u)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
     def test_mae_encode_deterministic_features(self):
         params, _ = mae_init(jax.random.key(0), TINY)
         imgs = make_imgs()
