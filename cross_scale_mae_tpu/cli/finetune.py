@@ -77,6 +77,8 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--mixup_switch_prob", default=0.5, type=float)
     p.add_argument("--ckpt_interval", default=20, type=int)
     p.add_argument("--max_steps", default=None, type=int)
+    p.add_argument("--unroll_blocks", action="store_true",
+                   help="unrolled layer loop (faster steps, slower compile)")
     add_data_args(p, pretrain=False)
     add_runtime_args(p)
     return p
@@ -191,7 +193,8 @@ def main(args) -> dict:
         num_classes=num_classes, global_pool=args.global_pool,
         drop_path_rate=args.drop_path, compute_dtype=args.compute_dtype,
         attention_impl=args.attention_impl, remat=args.remat,
-        input_channels=train_ds.in_c, **overrides,
+        input_channels=train_ds.in_c, scan_blocks=not args.unroll_blocks,
+        **overrides,
     )
     tcfg = TrainConfig(
         epochs=args.epochs, warmup_epochs=args.warmup_epochs,

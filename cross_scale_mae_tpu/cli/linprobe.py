@@ -63,6 +63,8 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight_decay", default=0.0, type=float)
     p.add_argument("--ckpt_interval", default=20, type=int)
     p.add_argument("--max_steps", default=None, type=int)
+    p.add_argument("--unroll_blocks", action="store_true",
+                   help="unrolled layer loop (faster steps, slower compile)")
     add_data_args(p, pretrain=False)
     add_runtime_args(p)
     return p
@@ -102,7 +104,8 @@ def main(args) -> dict:
         num_classes=num_classes, global_pool=args.global_pool,
         use_bn_head=True,  # frozen-affine BN head (main_linprobe.py:517-520)
         compute_dtype=args.compute_dtype, attention_impl=args.attention_impl,
-        input_channels=train_ds.in_c, **overrides,
+        input_channels=train_ds.in_c, scan_blocks=not args.unroll_blocks,
+        **overrides,
     )
     # Linear probe keeps only minimal augmentation (RandomResizedCrop +
     # flips); no mixup/smoothing (loss must be plain CE,

@@ -220,6 +220,7 @@ class ViTClassifierConfig:
     param_dtype: str = "float32"
     attention_impl: str = "xla"
     remat: bool = False
+    scan_blocks: bool = True  # False = unrolled layer loop (see layers.run_blocks)
 
     @property
     def grid_size(self) -> int:

@@ -104,6 +104,8 @@ def attention(p: Params, x: jnp.ndarray, num_heads: int, impl: str = "xla") -> j
     qkv = qkv.reshape(n, l, 3, num_heads, head_dim)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (N, L, H, hd)
     if impl == "pallas":
+        # v1 head-folded kernel. (The transpose-free v2 layout crashes the
+        # Mosaic compiler on this toolchain — see ops/attention.py v2 notes.)
         from cross_scale_mae_tpu.ops.attention import mha
 
         out = mha(q, k, v)

@@ -121,7 +121,7 @@ def vit_forward_features(
     else:
         x = layers.run_blocks(
             params["blocks"], x, cfg.num_heads, cfg.attention_impl,
-            remat=cfg.remat,
+            remat=cfg.remat, scan=cfg.scan_blocks,
         )
     if cfg.global_pool:
         feat = jnp.mean(x[:, 1:, :], axis=1)

@@ -177,6 +177,140 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     return pallas_mha(q, k, v, interpret=interpret)
 
 
+# --------------------------------------------------------------------------
+# v2 (EXPERIMENTAL — currently unused): transpose-free layout. The round-1
+# profile showed the _fold/_unfold transposes around the v1 kernels cost
+# ~28 ms/step of HBM copy/transpose traffic, so v2 consumes the raw qkv
+# projection output layout directly. STATUS: numerically correct in
+# interpreter mode, but slicing the second-minor head axis inside the kernel
+# crashes this toolchain's Mosaic remote compiler (tpu_compile_helper exit 1)
+# for both rank-5 and rank-4 block formulations. Kept for a future toolchain;
+# models/layers.py uses the v1 head-folded kernel.
+# --------------------------------------------------------------------------
+
+
+def _mha2_kernel(qkv_ref, o_ref, *, num_heads: int, scale: float):
+    # qkv_ref: (1, L, 3H, hd) with q heads at [0,H), k at [H,2H), v at [2H,3H);
+    # o_ref: (1, L, H, hd). Rank-4 blocks (rank-5 breaks Mosaic).
+    h = num_heads
+    for g in range(num_heads):
+        q = qkv_ref[0, :, g, :].astype(jnp.float32)  # (L, hd)
+        k = qkv_ref[0, :, h + g, :].astype(jnp.float32)
+        v = qkv_ref[0, :, 2 * h + g, :].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        p = _softmax_fp32(logits)
+        out = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[0, :, g, :] = out.astype(o_ref.dtype)
+
+
+def _mha2_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads: int, scale: float):
+    # Recompute backward per head; dqkv written in qkv layout.
+    h = num_heads
+    for g in range(num_heads):
+        q = qkv_ref[0, :, g, :].astype(jnp.float32)
+        k = qkv_ref[0, :, h + g, :].astype(jnp.float32)
+        v = qkv_ref[0, :, 2 * h + g, :].astype(jnp.float32)
+        do = do_ref[0, :, g, :].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        p = _softmax_fp32(logits)  # (L, L)
+        dv = jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (L, hd): sum_q p[q,l] do[q,:]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (L, L)
+        row = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - row) * scale
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dqkv_ref[0, :, g, :] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, h + g, :] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * h + g, :] = dv.astype(dqkv_ref.dtype)
+
+
+def _mha2_fwd_call(qkv, num_heads, interpret):
+    n, l, three_h, hd = qkv.shape
+    h = num_heads
+    assert three_h == 3 * h
+    scale = hd ** -0.5
+    in_spec = pl.BlockSpec((1, l, 3 * h, hd), lambda i: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, l, h, hd), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mha2_kernel, num_heads=h, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((n, l, h, hd), qkv.dtype),
+        grid=(n,),
+        in_specs=[in_spec],
+        out_specs=out_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * h * l * l * hd,
+            bytes_accessed=4 * n * l * h * hd * qkv.dtype.itemsize,
+            transcendentals=n * h * l * l,
+        ),
+    )(qkv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def pallas_mha_qkv(qkv, num_heads, interpret):
+    """qkv: (N, L, 3*H, hd) -> (N, L, H, hd), no layout changes anywhere."""
+    return _mha2_fwd_call(qkv, num_heads, interpret)
+
+
+def _mha2_cvjp_fwd(qkv, num_heads, interpret):
+    return _mha2_fwd_call(qkv, num_heads, interpret), (qkv,)
+
+
+def _mha2_cvjp_bwd(num_heads, interpret, res, do):
+    (qkv,) = res
+    n, l, three_h, hd = qkv.shape
+    h = num_heads
+    scale = hd ** -0.5
+    qkv_spec = pl.BlockSpec((1, l, 3 * h, hd), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    do_spec = pl.BlockSpec((1, l, h, hd), lambda i: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dqkv = pl.pallas_call(
+        functools.partial(_mha2_bwd_kernel, num_heads=h, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+        grid=(n,),
+        in_specs=[qkv_spec, do_spec],
+        out_specs=qkv_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * n * h * l * l * hd,
+            bytes_accessed=7 * n * l * h * hd * qkv.dtype.itemsize,
+            transcendentals=n * h * l * l,
+        ),
+    )(qkv, do)
+    return (dqkv,)
+
+
+pallas_mha_qkv.defvjp(_mha2_cvjp_fwd, _mha2_cvjp_bwd)
+
+
+def mha_qkv(qkv: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Transpose-free Pallas MHA on the raw qkv projection output.
+
+    SPMD note: a pallas_call is opaque to GSPMD, so under a multi-chip mesh
+    prefer ``attention_impl='xla'`` (default) or wrap the model in shard_map.
+    The Pallas path is the single-chip speed king (bench.py).
+    """
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    return pallas_mha_qkv(qkv, num_heads, interpret)
+
+
 def xla_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Reference einsum attention (same contract as :func:`pallas_mha`)."""
     hd = q.shape[-1]
