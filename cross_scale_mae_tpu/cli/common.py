@@ -27,7 +27,18 @@ def add_runtime_args(p: argparse.ArgumentParser):
     g.add_argument("--use_wandb", action="store_true")
     g.add_argument("--wandb_project", default="cross_scale_mae_tpu")
     g.add_argument("--log_interval", default=20, type=int)
-    g.add_argument("--attention_impl", default="xla", choices=["xla", "pallas"])
+    g.add_argument(
+        "--attention_impl", default=None,
+        choices=["xla", "pallas", "local", "fourier_mix"],
+        help="execution/variant choice; overrides --attention",
+    )
+    g.add_argument(
+        "--attention", default="scaled_dot_product",
+        choices=["scaled_dot_product", "local", "fourier_mix"],
+        help="reference-style attention name (main_pretrain.py:101-119); "
+             "parameterized xFormers variants (linformer/orthoformer/nystrom)"
+             " are out of scope",
+    )
     g.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace of steps 10-30 here")
     g.add_argument("--remat", action="store_true",
@@ -56,6 +67,13 @@ def add_data_args(p: argparse.ArgumentParser, pretrain: bool):
 def setup_runtime(args) -> dict[str, Any]:
     """Distributed init + mesh + per-host seeding. Returns context dict."""
     from cross_scale_mae_tpu.parallel import initialize_distributed, make_mesh
+
+    # Resolve the attention choice: --attention_impl wins, else map the
+    # reference-style --attention name (scaled_dot_product -> xla einsum).
+    if getattr(args, "attention_impl", None) is None:
+        args.attention_impl = {
+            "scaled_dot_product": "xla",
+        }.get(args.attention, args.attention)
 
     info = initialize_distributed(
         args.coordinator_address, args.num_processes, args.process_id

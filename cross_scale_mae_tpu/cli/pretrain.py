@@ -205,12 +205,8 @@ def main(args) -> dict:
                            header=f"Epoch [{epoch}]", total=steps_per_epoch)
         ):
             if args.profile_dir and epoch == start_epoch and total_steps == 10:
-                import jax.profiler
-
                 jax.profiler.start_trace(args.profile_dir)
             if args.profile_dir and epoch == start_epoch and total_steps == 30:
-                import jax.profiler
-
                 jax.profiler.stop_trace()
             batch = jax.device_put(imgs, data_sharding)
             state, metrics = step_fn(state, batch, rng)

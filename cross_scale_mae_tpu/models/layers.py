@@ -109,6 +109,14 @@ def attention(p: Params, x: jnp.ndarray, num_heads: int, impl: str = "xla") -> j
         from cross_scale_mae_tpu.ops.attention import mha
 
         out = mha(q, k, v)
+    elif impl == "local":
+        from cross_scale_mae_tpu.ops.attention import local_mha
+
+        out = local_mha(q, k, v)
+    elif impl == "fourier_mix":
+        from cross_scale_mae_tpu.ops.attention import fourier_mix
+
+        out = fourier_mix(q)
     else:
         scale = head_dim ** -0.5
         logits = jnp.einsum(

@@ -319,3 +319,41 @@ def xla_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     ) * (hd ** -0.5)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("nhqk,nkhd->nqhd", probs, v)
+
+
+# --------------------------------------------------------------------------
+# Alternative attention variants. The reference exposes xFormers research
+# attentions behind ``--attention`` (main_pretrain.py:101-119: linformer,
+# orthoformer, nystrom, fourier_mix, local, ...). At 17-257 tokens none of
+# them buys anything on TPU (SURVEY.md §2 marks them optional), but the
+# parameter-free ones are carried for flag-surface parity. The parameterized
+# ones (linformer/orthoformer/nystrom) remain out of scope.
+# --------------------------------------------------------------------------
+
+
+def local_mha(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, window: int = 5
+) -> jnp.ndarray:
+    """Sliding-window attention: token i attends to |i-j| <= window//2.
+
+    With L <= 257 the banded mask is applied to the full score matrix — the
+    masked softmax costs nothing extra at these lengths."""
+    n, l, h, hd = q.shape
+    logits = jnp.einsum(
+        "nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32
+    ) * (hd ** -0.5)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (l, l), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
+    band = jnp.abs(ii - jj) <= window // 2
+    logits = jnp.where(band[None, None], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("nhqk,nkhd->nqhd", probs, v)
+
+
+def fourier_mix(q: jnp.ndarray) -> jnp.ndarray:
+    """FNet-style token mixing (xFormers FourierMix): real part of a 2-D FFT
+    over (sequence, features); k/v are unused, like the xFormers block."""
+    n, l, h, hd = q.shape
+    x = q.reshape(n, l, h * hd).astype(jnp.float32)
+    out = jnp.fft.fft(jnp.fft.fft(x, axis=-1), axis=-2).real
+    return out.reshape(n, l, h, hd).astype(q.dtype)

@@ -249,6 +249,32 @@ class TestAttentionImpls:
         got = pallas_mha(q, k, v, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
+    def test_local_and_fourier_variants(self):
+        # Flag-surface parity with the reference's --attention choices.
+        from cross_scale_mae_tpu.ops.attention import fourier_mix, local_mha, xla_mha
+
+        rng = np.random.default_rng(2)
+        q, k, v = (
+            jnp.asarray(rng.normal(size=(2, 12, 4, 8)).astype(np.float32))
+            for _ in range(3)
+        )
+        local = local_mha(q, k, v, window=5)
+        assert local.shape == q.shape
+        # window >= 2L-1 == full attention
+        wide = local_mha(q, k, v, window=2 * 12 + 1)
+        np.testing.assert_allclose(
+            np.asarray(wide), np.asarray(xla_mha(q, k, v)), atol=1e-5
+        )
+        fm = fourier_mix(q)
+        assert fm.shape == q.shape and np.isfinite(np.asarray(fm)).all()
+
+        # Full model runs with each variant
+        for impl in ("local", "fourier_mix"):
+            cfg = TINY.replace(attention_impl=impl)
+            params, state = mae_init(jax.random.key(0), cfg)
+            out = mae_apply(params, cfg, make_imgs(), jax.random.key(1))
+            assert np.isfinite(float(out.loss))
+
     def test_pallas_vjp_matches_xla(self):
         from cross_scale_mae_tpu.ops.attention import pallas_mha, xla_mha
 
