@@ -109,6 +109,7 @@ def main():
         "b256_unroll_remat": (base.replace(scan_blocks=False, remat=True), 256),
         "b160_unroll_pallas": (base.replace(scan_blocks=False, attention_impl="pallas"), 160),
         "b192_unroll_pallas": (base.replace(scan_blocks=False, attention_impl="pallas"), 192),
+        "b128_unroll_pallas_t": (base.replace(scan_blocks=False, attention_impl="pallas_t"), 128),
     }
     if args.variants:
         variants = {k: v for k, v in variants.items() if k in args.variants}

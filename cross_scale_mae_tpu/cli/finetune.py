@@ -260,7 +260,10 @@ def main(args) -> dict:
         ft=args.model, in_sz=args.input_size, lr=lr, ld=args.layer_decay,
         ds=args.dataset_type,
     )
-    output_dir = os.path.join(args.output_dir, run_name)
+    from cross_scale_mae_tpu.utils.logging import auto_output_dir
+
+    # +N anti-clobber suffix (main_pretrain.py:471-491)
+    output_dir = auto_output_dir(args.output_dir, run=run_name)
     logger = RunLogger(output_dir, args.use_tensorboard, args.use_wandb,
                        args.wandb_project, run_name)
 

@@ -171,7 +171,10 @@ def main(args) -> dict:
     run_name = encode_run_name(
         lin=args.model, in_sz=args.input_size, lr=lr, ds=args.dataset_type
     )
-    output_dir = os.path.join(args.output_dir, run_name)
+    from cross_scale_mae_tpu.utils.logging import auto_output_dir
+
+    # +N anti-clobber suffix (main_pretrain.py:471-491)
+    output_dir = auto_output_dir(args.output_dir, run=run_name)
     logger = RunLogger(output_dir, args.use_tensorboard, args.use_wandb,
                        args.wandb_project, run_name)
 

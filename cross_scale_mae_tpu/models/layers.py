@@ -91,6 +91,37 @@ def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     return y.astype(dtype)
 
 
+def _attention_pallas_t(p: Params, x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """Pallas attention with the head transpose fused into the projections.
+
+    The v1 kernel wants (N*H, L, hd); materializing that from (N, L, H, hd)
+    costs explicit HBM transposes (~28 ms/step in the round-1 profile).
+    Here the qkv matmul itself emits head-major output
+    (einsum 'nld,dshk->nshlk') and the proj matmul consumes it back
+    ('nhlk,hkd->nld') — the relayout rides the MXU epilogue instead of a
+    standalone transpose pass."""
+    import jax
+
+    n, l, d = x.shape
+    hd = d // num_heads
+    wq = p["qkv"]["kernel"].astype(x.dtype).reshape(d, 3, num_heads, hd)
+    bq = p["qkv"]["bias"].astype(x.dtype).reshape(3, num_heads, hd)
+    qkv = jnp.einsum(
+        "nld,dshk->nshlk", x, wq, preferred_element_type=x.dtype
+    ) + bq[None, :, :, None, :]
+    q = qkv[:, 0].reshape(n * num_heads, l, hd)
+    k = qkv[:, 1].reshape(n * num_heads, l, hd)
+    v = qkv[:, 2].reshape(n * num_heads, l, hd)
+    from cross_scale_mae_tpu.ops.attention import _mha_folded
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    out = _mha_folded(q, k, v, interpret).reshape(n, num_heads, l, hd)
+    wp = p["proj"]["kernel"].astype(x.dtype).reshape(num_heads, hd, d)
+    return jnp.einsum(
+        "nhlk,hkd->nld", out, wp, preferred_element_type=x.dtype
+    ) + p["proj"]["bias"].astype(x.dtype)
+
+
 def attention(p: Params, x: jnp.ndarray, num_heads: int, impl: str = "xla") -> jnp.ndarray:
     """Multi-head self-attention with fused qkv (timm Attention layout).
 
@@ -98,6 +129,8 @@ def attention(p: Params, x: jnp.ndarray, num_heads: int, impl: str = "xla") -> j
     (N*L, D) for the qkv/proj matmuls REGRESSED the full step 105->117 ms —
     XLA already folds batched matmuls onto the MXU efficiently here and the
     extra reshapes cost copies. Keep the natural batched layout."""
+    if impl == "pallas_t":
+        return _attention_pallas_t(p, x, num_heads)
     n, l, d = x.shape
     head_dim = d // num_heads
     qkv = linear(p["qkv"], x)  # (N, L, 3D)
