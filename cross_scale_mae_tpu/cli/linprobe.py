@@ -153,7 +153,7 @@ def main(args) -> dict:
     mean, std = train_ds.mean, train_ds.std
     augment = make_pretrain_augment(
         mean, std, args.input_size, normalize=train_ds.normalize_on_device,
-        dtype=args.compute_dtype,
+        dtype=args.compute_dtype, rot90=(args.dataset_type == "naip"),
     )
     preprocess = make_eval_preprocess(
         mean, std, args.input_size, normalize=eval_ds.normalize_on_device,

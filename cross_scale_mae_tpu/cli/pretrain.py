@@ -175,6 +175,7 @@ def main(args) -> dict:
     augment = make_pretrain_augment(
         mean, std, args.input_size,
         normalize=dataset.normalize_on_device, dtype=args.compute_dtype,
+        rot90=(args.dataset_type == "naip"),
     )
     step_fn = make_pretrain_step(cfg, tcfg, schedule, augment=augment)
     data_sharding = batch_sharding(mesh)

@@ -20,6 +20,7 @@ from cross_scale_mae_tpu.ops.image import (
     normalize_images,
     random_flips,
     random_resized_crop,
+    random_rot90,
 )
 
 
@@ -31,18 +32,22 @@ def make_pretrain_augment(
     scale: tuple[float, float] = (0.25, 1.0),
     hflip: bool = True,
     vflip: bool = True,
+    rot90: bool = False,
     method: str = "cubic",
     normalize: bool = True,
     dtype: str = "float32",
 ) -> Callable[[jax.Array, jnp.ndarray], jnp.ndarray]:
-    """Train-time chain (util/datasets.py:123-138), fused on device."""
+    """Train-time chain (util/datasets.py:123-138), fused on device.
+    ``rot90`` adds the NAIP-style random rotation (util/naip_loader.py)."""
 
     def augment(rng: jax.Array, batch_u8: jnp.ndarray) -> jnp.ndarray:
-        k_flip, k_crop = jax.random.split(rng)
+        k_flip, k_rot, k_crop = jax.random.split(rng, 3)
         x = batch_u8.astype(jnp.dtype(dtype)) / 255.0
         if normalize:
             x = normalize_images(x, mean, std)
         x = random_flips(k_flip, x, hflip, vflip)
+        if rot90:
+            x = random_rot90(k_rot, x)
         x = random_resized_crop(k_crop, x, input_size, scale, method=method)
         return x
 

@@ -55,6 +55,19 @@ def random_flips(
     return imgs
 
 
+def random_rot90(rng: jax.Array, imgs: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample uniform k*90-degree rotation (reference NAIP transforms,
+    util/naip_loader.py:17-57 flip/rotate augmentation). Square NHWC only."""
+    n = imgs.shape[0]
+    k = jax.random.randint(rng, (n,), 0, 4)
+    r1 = jnp.rot90(imgs, 1, axes=(1, 2))
+    r2 = jnp.rot90(imgs, 2, axes=(1, 2))
+    r3 = jnp.rot90(imgs, 3, axes=(1, 2))
+    out = jnp.where((k == 1)[:, None, None, None], r1, imgs)
+    out = jnp.where((k == 2)[:, None, None, None], r2, out)
+    return jnp.where((k == 3)[:, None, None, None], r3, out)
+
+
 def _cubic_kernel(t: jnp.ndarray, a: float = -0.75) -> jnp.ndarray:
     """Keys cubic convolution kernel (the torch 'bicubic' convention, a=-0.75)."""
     at = jnp.abs(t)
