@@ -285,7 +285,8 @@ def mae_loss_fn(
             ),
             (n, 4),
         )
-    imgs_crop = crop_resize(imgs, boxes, cfg.input_size, method="linear")
+    imgs_crop = crop_resize(imgs, boxes, cfg.input_size, method="linear",
+                            exact=False)
 
     both = jnp.concatenate([imgs, imgs_crop], axis=0)  # (2N, H, W, C)
     noise1 = jax.random.uniform(k_mask1, (n, cfg.num_patches))

@@ -19,7 +19,6 @@ the jitted train step:
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -115,11 +114,17 @@ def crop_resize(
     boxes: jnp.ndarray,
     out_size: int,
     method: str = "linear",
+    exact: bool = True,
 ) -> jnp.ndarray:
     """Batched per-sample crop+resize via weight-matrix matmuls.
 
     imgs: (N, H, W, C); boxes: (N, 4) rows of (top, left, height, width) in
     (possibly fractional) pixels. Returns (N, out_size, out_size, C).
+
+    ``exact=True`` runs the einsums at fp32 HIGHEST precision (bit-parity
+    with torch interpolate — used by metrics/eval/tests). ``exact=False``
+    uses the fast MXU path (bf16 multipliers, fp32 accumulation) — plenty
+    for training augmentation, ~8x the matmul rate.
     """
     n, h, w, c = imgs.shape
     row_mat = jax.vmap(
@@ -129,14 +134,14 @@ def crop_resize(
         lambda b: _resample_matrix(w, out_size, b[1], b[3], method)
     )(boxes)  # (N, out, W)
     dtype = imgs.dtype
-    # Two MXU einsums; accumulate in fp32 regardless of activation dtype.
+    precision = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
     tmp = jnp.einsum(
         "noh,nhwc->nowc", row_mat, imgs.astype(jnp.float32),
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32, precision=precision,
     )
     out = jnp.einsum(
         "npw,nowc->nopc", col_mat, tmp,
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32, precision=precision,
     )
     return out.astype(dtype)
 
@@ -183,11 +188,12 @@ def random_resized_crop(
     ``scale=(0.25, 0.75)`` with ``method='linear'`` reproduces the MsLd
     low-GSD view (MAE_ViT_MsLd.py:29-35, torchvision default bilinear);
     ``scale=(0.25, 1.0)`` with ``method='cubic'`` reproduces the dataset train
-    augmentation (util/datasets.py:130-136).
+    augmentation (util/datasets.py:130-136). Training augmentation: uses the
+    fast MXU path (exact=False).
     """
     n, h, w, _ = imgs.shape
     boxes = sample_crop_boxes(rng, n, h, w, scale, ratio)
-    return crop_resize(imgs, boxes, out_size, method)
+    return crop_resize(imgs, boxes, out_size, method, exact=False)
 
 
 def resize(imgs: jnp.ndarray, out_size: int, method: str = "cubic") -> jnp.ndarray:

@@ -13,7 +13,6 @@ convolution emitter handles natively.
 
 from __future__ import annotations
 
-from functools import partial
 
 import numpy as np
 

@@ -12,8 +12,7 @@ Gradient accumulation (``accum_iter``, main_pretrain.py:53-61) is a
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
