@@ -92,6 +92,8 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="hard step cap (smoke tests)")
     p.add_argument("--unroll_blocks", action="store_true",
                    help="unrolled layer loop (faster steps, slower compile)")
+    p.add_argument("--zero1", action="store_true",
+                   help="shard optimizer state over the data axis (ZeRO-1)")
     add_data_args(p, pretrain=True)
     add_runtime_args(p)
     return p
@@ -162,7 +164,9 @@ def main(args) -> dict:
         b1=tcfg.adam_b1, b2=tcfg.adam_b2, clip_grad=args.clip_grad,
     )
     state = TrainState.create(params, mstate, tx)
-    state = shard_train_state(mesh, state, tensor_parallel=args.model_parallel > 1)
+    state = shard_train_state(
+        mesh, state, tensor_parallel=args.model_parallel > 1, zero1=args.zero1
+    )
 
     start_epoch = 0
     if args.resume and latest_step(args.resume) is not None:

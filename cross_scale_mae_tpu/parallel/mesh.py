@@ -78,9 +78,33 @@ def param_shardings(mesh: Mesh, params: Params, tensor_parallel: bool = True) ->
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
-def shard_train_state(mesh: Mesh, state, tensor_parallel: bool = True):
+def _zero1_spec(mesh: Mesh, shape: tuple) -> P:
+    """ZeRO-1 sharding for an optimizer-moment leaf: split the largest axis
+    divisible by the data-axis size; fall back to replicated."""
+    n = mesh.shape["data"]
+    best = None
+    for axis, dim in enumerate(shape):
+        if dim % n == 0 and dim >= n and (best is None or dim > shape[best]):
+            best = axis
+    if best is None:
+        return P()
+    spec = [None] * len(shape)
+    spec[best] = "data"
+    return P(*spec)
+
+
+def shard_train_state(
+    mesh: Mesh, state, tensor_parallel: bool = True, zero1: bool = False
+):
     """Place a TrainState on the mesh: params per rules, opt/model state to
-    match (optimizer moments share the param layout), scalars replicated."""
+    match (optimizer moments share the param layout), scalars replicated.
+
+    ``zero1=True`` shards optimizer moments over the ``data`` axis instead
+    (ZeRO-1): each chip keeps 1/N of the Adam/LARS state; XLA's SPMD
+    partitioner computes the update shard-wise and all-gathers the applied
+    params — trades a collective for N-fold optimizer-state memory. Only
+    worthwhile when optimizer state pressures HBM (ViT-H-scale).
+    """
     p_shard = param_shardings(mesh, state.params, tensor_parallel)
     params = jax.tree.map(jax.device_put, state.params, p_shard)
     # Optimizer state: leaves with the same shape as a param get that param's
@@ -99,6 +123,10 @@ def shard_train_state(mesh: Mesh, state, tensor_parallel: bool = True):
 
     def place_opt(x):
         if hasattr(x, "shape"):
+            if zero1 and x.ndim >= 1 and x.size > 1024:
+                return jax.device_put(
+                    x, NamedSharding(mesh, _zero1_spec(mesh, x.shape))
+                )
             sh = shape_map.get((x.shape, x.dtype), replicated(mesh))
             return jax.device_put(x, sh)
         return x

@@ -92,6 +92,37 @@ def test_tensor_parallel_shardings(tiny_setup):
     assert shardings["cls_token"].spec == P()
 
 
+def test_zero1_optimizer_sharding(tiny_setup):
+    cfg, tcfg, sched, state = tiny_setup
+    mesh = make_mesh(model_parallel=1)
+    imgs = jnp.asarray(
+        np.random.default_rng(0).normal(size=(16, 16, 16, 3)).astype(np.float32)
+    )
+    step = make_pretrain_step(cfg, tcfg, sched, donate=False)
+
+    base_state = shard_train_state(mesh, state, tensor_parallel=False)
+    z_state = shard_train_state(mesh, state, tensor_parallel=False, zero1=True)
+    # Moments are actually sharded
+    mu_leaf = None
+    for leaf in jax.tree.leaves(z_state.opt_state):
+        if hasattr(leaf, "shape") and leaf.size > 1024:
+            mu_leaf = leaf
+            break
+    assert mu_leaf is not None and not mu_leaf.sharding.is_fully_replicated
+
+    batch = jax.device_put(imgs, batch_sharding(mesh))
+    s_base, m_base = step(base_state, batch, jax.random.key(0))
+    s_zero, m_zero = step(z_state, batch, jax.random.key(0))
+    np.testing.assert_allclose(
+        float(m_base["loss"]), float(m_zero["loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_base.params["decoder_pred"]["bias"]),
+        np.asarray(s_zero.params["decoder_pred"]["bias"]),
+        atol=1e-6,
+    )
+
+
 def test_tensor_parallel_step_runs(tiny_setup):
     cfg, tcfg, sched, state = tiny_setup
     mesh = make_mesh(model_parallel=2)
