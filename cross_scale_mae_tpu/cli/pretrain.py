@@ -94,6 +94,10 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="unrolled layer loop (faster steps, slower compile)")
     p.add_argument("--zero1", action="store_true",
                    help="shard optimizer state over the data axis (ZeRO-1)")
+    p.add_argument("--ddp_mode", default="gspmd", choices=["gspmd", "shard_map"],
+                   help="shard_map = manual SPMD with reference per-device "
+                        "DDP semantics (local NT-Xent negatives/BN stats); "
+                        "required for pallas attention on multi-chip meshes")
     add_data_args(p, pretrain=True)
     add_runtime_args(p)
     return p
@@ -181,7 +185,17 @@ def main(args) -> dict:
         normalize=dataset.normalize_on_device, dtype=args.compute_dtype,
         rot90=(args.dataset_type == "naip"),
     )
-    step_fn = make_pretrain_step(cfg, tcfg, schedule, augment=augment)
+    if args.ddp_mode == "shard_map":
+        from cross_scale_mae_tpu.train.pretrain import make_pretrain_step_shard_map
+
+        assert args.model_parallel == 1 and not args.zero1, (
+            "shard_map DDP mode is pure data-parallel"
+        )
+        step_fn = make_pretrain_step_shard_map(
+            cfg, tcfg, schedule, mesh, augment=augment
+        )
+    else:
+        step_fn = make_pretrain_step(cfg, tcfg, schedule, augment=augment)
     data_sharding = batch_sharding(mesh)
 
     # ---- logging

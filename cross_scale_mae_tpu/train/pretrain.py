@@ -22,6 +22,78 @@ from cross_scale_mae_tpu.models.mae import mae_loss_fn
 from cross_scale_mae_tpu.train.state import TrainState, global_norm
 
 
+def make_pretrain_step_shard_map(
+    cfg: MAEConfig,
+    tcfg: TrainConfig,
+    schedule: Callable[[jnp.ndarray], jnp.ndarray],
+    mesh,
+    donate: bool = True,
+    augment: Callable | None = None,
+) -> Callable:
+    """DDP-semantics step via shard_map (manual SPMD over the 'data' axis).
+
+    Two reasons to use this instead of the GSPMD path:
+
+    * **Pallas on multi-chip**: pallas_call is opaque to the GSPMD
+      partitioner; under shard_map each shard invokes the kernel on its
+      local batch.
+    * **Exact reference DDP semantics**: per-device NT-Xent negatives and
+      per-device BatchNorm statistics (torch DDP behavior,
+      MAE_ViT_MsLdCeCd.py:62 / SURVEY.md §7), vs. the GSPMD path's
+      global-batch versions.
+
+    Gradients/losses are pmean'd over 'data' (= the NCCL all-reduce). Params
+    and optimizer state must be replicated (no TP/ZeRO in this mode).
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def loss_fn(params, model_state, imgs, rng):
+        if augment is not None:
+            k_aug, rng = jax.random.split(rng)
+            imgs = augment(k_aug, imgs)
+        out = mae_loss_fn(
+            params, model_state, cfg, imgs, rng,
+            train=True, consistent_mask=tcfg.consistent_mask,
+        )
+        return out.loss, out
+
+    def local_grads(params, model_state, batch, rng):
+        # Per-shard rng: decorrelate augmentation across shards
+        # (the reference seeds per rank, main_pretrain.py:368-370).
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, model_state, batch, rng
+        )
+        grads = jax.lax.pmean(grads, "data")
+        losses = jax.lax.pmean(out.losses, "data")
+        # BN running stats averaged across shards (torch SyncBN-free DDP
+        # keeps local stats; averaging is strictly better and cheap).
+        new_model_state = jax.lax.pmean(out.state, "data")
+        return grads, jax.lax.pmean(loss, "data"), losses, new_model_state
+
+    sharded = shard_map(
+        local_grads,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data"), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    def step(state: TrainState, batch: jnp.ndarray, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        grads, loss, losses, new_model_state = sharded(
+            state.params, state.model_state, batch, rng
+        )
+        gnorm = global_norm(grads)
+        new_state = state.apply_gradients(grads, new_model_state)
+        metrics = dict(losses)
+        metrics.update(loss=loss, grad_norm=gnorm, lr=schedule(state.step))
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def make_pretrain_step(
     cfg: MAEConfig,
     tcfg: TrainConfig,
