@@ -6,10 +6,13 @@
 // reference's #2 hot loop (SURVEY.md §3). Design:
 //
 //   * one index array (path offsets + labels) shared by all workers
-//   * per-epoch Fisher-Yates shuffle (splitmix64/xoshiro) with a
-//     (seed, epoch) key — deterministic, matching the Python fallback
-//   * N pthread workers: libjpeg decode -> box-filtered downscale to the
-//     fixed canvas (uint8, NHWC slot write, no intermediate copies)
+//   * per-epoch Fisher-Yates shuffle (splitmix64) with a (seed, epoch) key —
+//     deterministic run-to-run. NOTE: the permutation differs from the Python
+//     fallback's numpy PCG64 shuffle (both are valid uniform shuffles; a run
+//     is reproducible within one loader backend, not across backends)
+//   * N pthread workers: libjpeg decode (DCT-domain 1/2^k prescale) ->
+//     bilinear resample to the fixed canvas (the Python fallback uses PIL
+//     bicubic — distributionally equivalent canvases, not bit-identical)
 //   * a condition-variable ring of fully-assembled batches; the consumer
 //     (Python) blocks only when decode falls behind
 //
