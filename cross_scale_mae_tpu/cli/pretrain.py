@@ -213,6 +213,23 @@ def main(args) -> dict:
     )
     rank0_print(f"output dir: {output_dir}")
 
+    # ---- preemption-safe shutdown: on SIGTERM/SIGINT finish the current
+    # step, write a checkpoint, and exit cleanly (no reference equivalent —
+    # a rank failure kills the reference's torchrun job, SURVEY.md §5).
+    import signal
+
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        rank0_print(f"signal {signum}: checkpoint-and-exit after this step")
+        stop_requested["flag"] = True
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _request_stop)
+        except ValueError:
+            pass  # not in main thread
+
     # ---- epoch loop
     rng = jax.random.key(args.seed + 1)
     total_steps = 0
@@ -246,6 +263,8 @@ def main(args) -> dict:
                     epoch_1000x(epoch + it / steps_per_epoch), fetched
                 )
             total_steps += 1
+            if stop_requested["flag"]:
+                break
             if args.max_steps and total_steps >= args.max_steps:
                 break
         epoch_time = time.time() - epoch_t0
@@ -259,7 +278,9 @@ def main(args) -> dict:
 
         should_ckpt = (
             args.output_dir
-            and ((epoch + 1) % args.ckpt_interval == 0 or epoch + 1 == args.epochs)
+            and ((epoch + 1) % args.ckpt_interval == 0
+                 or epoch + 1 == args.epochs
+                 or stop_requested["flag"])
         )
         if should_ckpt:
             save_checkpoint(
@@ -271,6 +292,9 @@ def main(args) -> dict:
                 _plot_epoch_recon(
                     state, cfg, dataset, mean, std, output_dir, epoch
                 )
+        if stop_requested["flag"]:
+            rank0_print("preemption checkpoint written; exiting")
+            break
         if args.max_steps and total_steps >= args.max_steps:
             break
 
