@@ -224,9 +224,10 @@ def main(args) -> dict:
         rank0_print(f"signal {signum}: checkpoint-and-exit after this step")
         stop_requested["flag"] = True
 
+    prev_handlers = {}
     for sig in (signal.SIGTERM, signal.SIGINT):
         try:
-            signal.signal(sig, _request_stop)
+            prev_handlers[sig] = signal.signal(sig, _request_stop)
         except ValueError:
             pass  # not in main thread
 
@@ -298,6 +299,8 @@ def main(args) -> dict:
         if args.max_steps and total_steps >= args.max_steps:
             break
 
+    for sig, h in prev_handlers.items():
+        signal.signal(sig, h)
     wall = time.time() - t_start
     rank0_print(f"training done in {wall:.1f}s ({total_steps} steps)")
     logger.close()
