@@ -135,6 +135,7 @@ def main(args) -> dict:
         seed=args.seed, log_interval=args.log_interval,
         ckpt_interval_epochs=args.ckpt_interval,
         consistent_mask=args.consistent_mask,
+        mask_seed=args.mask_seed,
     )
 
     # ---- data

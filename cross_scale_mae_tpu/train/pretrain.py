@@ -122,7 +122,13 @@ def make_pretrain_step(
     def step(state: TrainState, batch: jnp.ndarray, rng: jax.Array):
         # Fold in the step so one host key covers the whole run
         # (replaces per-rank seeding at main_pretrain.py:368-370).
-        rng = jax.random.fold_in(rng, state.step)
+        # mask_seed pins the key instead — the reference's torch.manual_seed
+        # path (MAE_ViT_Baseline.py:301-302) makes the crop AND mask
+        # deterministic every step; same semantics here.
+        if tcfg.mask_seed is not None:
+            rng = jax.random.key(tcfg.mask_seed)
+        else:
+            rng = jax.random.fold_in(rng, state.step)
         accum = tcfg.accum_iter
         if accum == 1:
             (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
