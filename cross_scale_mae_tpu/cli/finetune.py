@@ -135,19 +135,40 @@ def load_pretrained_encoder(path: str, vcfg, params):
     return merged
 
 
-def evaluate(eval_step, state, loader, num_classes, epoch=0) -> dict:
+def evaluate(
+    eval_step, state, loader, num_classes, epoch=0,
+    *, batch_size=None, sharding=None,
+) -> dict:
     """Full evaluation epoch (engine_finetune.py:127-236): acc1/acc5,
-    macro/micro F1, mIoU from a streaming confusion matrix."""
+    macro/micro F1, mIoU from a streaming confusion matrix.
+
+    The ragged final batch (eval keeps drop_last=False) is padded to the
+    static ``batch_size`` with a validity mask, so the whole epoch is ONE
+    XLA program; ``sharding`` spreads eval batches over the mesh instead of
+    defaulting everything onto device 0."""
     cm = ConfusionMatrix(num_classes)
     losses, acc1s, acc5s, ns = [], [], [], []
+    put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
+        else jnp.asarray
     for imgs, labels in loader.epoch(epoch):
-        out = eval_step(state.params, state.model_state, jnp.asarray(imgs),
-                        jnp.asarray(labels))
-        cm.update(np.asarray(out["pred"]), labels)
-        losses.append(float(out["loss"]) * len(labels))
-        acc1s.append(float(out["acc1"]) * len(labels))
-        acc5s.append(float(out["acc5"]) * len(labels))
-        ns.append(len(labels))
+        n = len(labels)
+        bs = batch_size or n
+        labels_padded = labels
+        if n < bs:
+            pad = bs - n
+            imgs = np.concatenate(
+                [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)]
+            )
+            labels_padded = np.concatenate([labels, np.zeros((pad,), labels.dtype)])
+        # Always pass the mask so full and padded batches share one trace.
+        valid = put(np.arange(bs) < n)
+        out = eval_step(state.params, state.model_state, put(imgs),
+                        put(labels_padded), valid)
+        cm.update(np.asarray(out["pred"])[:n], labels[:n])
+        losses.append(float(out["loss"]) * n)
+        acc1s.append(float(out["acc1"]) * n)
+        acc5s.append(float(out["acc5"]) * n)
+        ns.append(n)
     n = max(sum(ns), 1)
     return {
         "loss": sum(losses) / n,
@@ -207,7 +228,11 @@ def main(args) -> dict:
     )
 
     per_host_batch = args.batch_size // jax.process_count()
-    train_loader = make_loader(args, train_ds, per_host_batch, seed=args.seed)
+    # accum_iter loader batches per optimizer step (reference semantics) —
+    # keeps the lr rule lr = blr * batch_size*accum_iter/256 exact.
+    train_loader = make_loader(
+        args, train_ds, per_host_batch * args.accum_iter, seed=args.seed
+    )
     eval_loader = make_loader(
         args, eval_ds, per_host_batch, is_train=False, seed=args.seed
     )
@@ -238,6 +263,26 @@ def main(args) -> dict:
     state = TrainState.create(params, mstate, tx)
     state = shard_train_state(mesh, state, tensor_parallel=args.model_parallel > 1)
 
+    # Mid-run restore (util/misc.py:382-411: model+optimizer+epoch; the
+    # reference wires --resume for all three entry points).
+    start_epoch = 0
+    max_acc = 0.0
+    if args.resume:
+        from cross_scale_mae_tpu.utils.checkpoint import (
+            latest_step,
+            restore_checkpoint,
+        )
+
+        if latest_step(args.resume) is None:
+            raise FileNotFoundError(f"--resume: no checkpoints in {args.resume}")
+        state, meta = restore_checkpoint(args.resume, state)
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        max_acc = float(meta.get("max_acc", 0.0))
+        rank0_print(
+            f"resumed from {args.resume}: epoch {start_epoch}, "
+            f"max_acc {max_acc:.2f}%"
+        )
+
     mean, std = train_ds.mean, train_ds.std
     augment = make_pretrain_augment(
         mean, std, args.input_size, normalize=train_ds.normalize_on_device,
@@ -252,7 +297,8 @@ def main(args) -> dict:
     data_sharding = batch_sharding(mesh)
 
     if args.eval:
-        stats = evaluate(eval_step, state, eval_loader, num_classes)
+        stats = evaluate(eval_step, state, eval_loader, num_classes,
+                         batch_size=per_host_batch, sharding=data_sharding)
         rank0_print(f"eval: {stats}")
         return stats
 
@@ -267,27 +313,33 @@ def main(args) -> dict:
     logger = RunLogger(output_dir, args.use_tensorboard, args.use_wandb,
                        args.wandb_project, run_name)
 
+    from cross_scale_mae_tpu.data.loader import device_prefetch
+
     rng = jax.random.key(args.seed + 1)
-    max_acc = 0.0
     total_steps = 0
-    for epoch in range(args.epochs):
+    prev_loss = None
+    for epoch in range(start_epoch, args.epochs):
         mlog = MetricLogger(print_fn=rank0_print)
-        for it, (imgs, labels) in enumerate(
-            mlog.log_every(train_loader.epoch(epoch), args.log_interval,
-                           header=f"Epoch [{epoch}]", total=steps_per_epoch)
+        for it, (batch, labels) in enumerate(
+            mlog.log_every(
+                device_prefetch(train_loader.epoch(epoch), data_sharding),
+                args.log_interval, header=f"Epoch [{epoch}]",
+                total=steps_per_epoch,
+            )
         ):
-            batch = jax.device_put(imgs, data_sharding)
-            labels = jax.device_put(labels, data_sharding)
             state, metrics = train_step(state, batch, labels, rng)
+            # Previous-step NaN abort: no pipeline stall, fires by step k+1.
+            if prev_loss is not None and not np.isfinite(float(prev_loss)):
+                raise FloatingPointError("Loss is NaN, stopping")
+            prev_loss = metrics["loss"]
             if it % args.log_interval == 0:
                 fetched = {k: float(v) for k, v in metrics.items()}
-                if not np.isfinite(fetched["loss"]):
-                    raise FloatingPointError("Loss is NaN, stopping")
                 mlog.update(**fetched)
             total_steps += 1
             if args.max_steps and total_steps >= args.max_steps:
                 break
-        stats = evaluate(eval_step, state, eval_loader, num_classes, epoch)
+        stats = evaluate(eval_step, state, eval_loader, num_classes, epoch,
+                         batch_size=per_host_batch, sharding=data_sharding)
         max_acc = max(max_acc, stats["acc1"])
         rank0_print(
             f"Epoch {epoch}: acc1 {stats['acc1']:.2f}% acc5 {stats['acc5']:.2f}% "
@@ -300,7 +352,8 @@ def main(args) -> dict:
             save_checkpoint(
                 os.path.join(output_dir, "checkpoints"),
                 int(jax.device_get(state.step)), state,
-                config_json=vcfg.to_json(), extra={"epoch": epoch},
+                config_json=vcfg.to_json(),
+                extra={"epoch": epoch, "max_acc": max_acc},
             )
         if args.max_steps and total_steps >= args.max_steps:
             break

@@ -137,6 +137,13 @@ def main(args) -> dict:
         consistent_mask=args.consistent_mask,
         mask_seed=args.mask_seed,
     )
+    if args.mask_seed is not None:
+        rank0_print(
+            "WARNING: --mask_seed pins the step RNG — the SAME crop, mask "
+            "and flips every step (reference torch.manual_seed semantics, "
+            "MAE_ViT_Baseline.py:301-302); implies --consistent_mask. Do "
+            "not use for real training runs."
+        )
 
     # ---- data
     dataset = build_dataset(
@@ -147,7 +154,13 @@ def main(args) -> dict:
         synthetic_len=args.synthetic_len,
     )
     per_host_batch = args.batch_size // jax.process_count()
-    loader = make_loader(args, dataset, per_host_batch, seed=args.seed)
+    # The loader delivers accum_iter batches per optimizer step (reference
+    # semantics, engine_pretrain.py:62-70: accumulate accum_iter DISTINCT
+    # loader batches) — so eff_batch below matches what the step consumes
+    # and the lr rule (main_pretrain.py:411-412) is exact.
+    loader = make_loader(
+        args, dataset, per_host_batch * args.accum_iter, seed=args.seed
+    )
     steps_per_epoch = loader.steps_per_epoch()
     assert steps_per_epoch > 0, "dataset smaller than one batch"
     eff_batch = args.batch_size * args.accum_iter
@@ -233,32 +246,39 @@ def main(args) -> dict:
             pass  # not in main thread
 
     # ---- epoch loop
+    from cross_scale_mae_tpu.data.loader import device_prefetch
+
     rng = jax.random.key(args.seed + 1)
     total_steps = 0
     last_metrics = {}
+    prev_loss = None  # previous step's on-device loss, for the NaN abort
     t_start = time.time()
     for epoch in range(start_epoch, args.epochs):
         mlog = MetricLogger(print_fn=rank0_print)
         epoch_t0 = time.time()
-        pending = None
-        for it, (imgs, labels) in enumerate(
-            mlog.log_every(loader.epoch(epoch), args.log_interval,
-                           header=f"Epoch [{epoch}]", total=steps_per_epoch)
+        for it, (batch, labels) in enumerate(
+            mlog.log_every(
+                device_prefetch(loader.epoch(epoch), data_sharding),
+                args.log_interval, header=f"Epoch [{epoch}]",
+                total=steps_per_epoch,
+            )
         ):
             if args.profile_dir and epoch == start_epoch and total_steps == 10:
                 jax.profiler.start_trace(args.profile_dir)
             if args.profile_dir and epoch == start_epoch and total_steps == 30:
                 jax.profiler.stop_trace()
-            batch = jax.device_put(imgs, data_sharding)
             state, metrics = step_fn(state, batch, rng)
-            # Async metric fetch: only sync every log_interval steps
-            # (vs. the reference's 3 syncs per step, engine_pretrain.py:55-79).
+            # Per-step NaN abort (engine_pretrain.py:57-59) WITHOUT a
+            # per-step pipeline stall: read the PREVIOUS step's loss, which
+            # finished while this step was being enqueued. A NaN at step k
+            # aborts at step k+1, before the poisoned state propagates far.
+            if prev_loss is not None and not np.isfinite(float(prev_loss)):
+                raise FloatingPointError(
+                    f"Loss is {float(prev_loss)}, stopping training"
+                )
+            prev_loss = metrics["loss"]
             if it % args.log_interval == 0:
                 fetched = {k: float(v) for k, v in metrics.items()}
-                if not np.isfinite(fetched["loss"]):
-                    raise FloatingPointError(
-                        f"Loss is {fetched['loss']}, stopping training"
-                    )  # NaN abort, engine_pretrain.py:57-59
                 mlog.update(**fetched)
                 last_metrics = fetched
                 logger.log_step(
@@ -270,7 +290,10 @@ def main(args) -> dict:
             if args.max_steps and total_steps >= args.max_steps:
                 break
         epoch_time = time.time() - epoch_t0
-        imgs_per_sec = steps_per_epoch * per_host_batch / max(epoch_time, 1e-9)
+        imgs_per_sec = (
+            steps_per_epoch * per_host_batch * args.accum_iter
+            / max(epoch_time, 1e-9)
+        )
         payload = {
             "epoch": epoch, "epoch_time_s": epoch_time,
             "imgs_per_sec_per_host": imgs_per_sec,
@@ -302,6 +325,8 @@ def main(args) -> dict:
 
     for sig, h in prev_handlers.items():
         signal.signal(sig, h)
+    if prev_loss is not None and not np.isfinite(float(prev_loss)):
+        raise FloatingPointError(f"Loss is {float(prev_loss)} at final step")
     wall = time.time() - t_start
     rank0_print(f"training done in {wall:.1f}s ({total_steps} steps)")
     logger.close()

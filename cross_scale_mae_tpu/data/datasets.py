@@ -163,11 +163,18 @@ class _MultibandMixin:
     masked_bands: Optional[Sequence[int]] = None
     dropped_bands: Optional[Sequence[int]] = None
 
-    def _apply_bands(self, img: np.ndarray) -> np.ndarray:
+    def _mask_bands(self, img: np.ndarray) -> np.ndarray:
+        """Masked bands are replaced with the band mean on the RAW image,
+        *before* SentinelNormalize (util/datasets.py:431-436) — which maps
+        the masked band to ~127 after the 2σ rescale. Assigning raw-unit
+        means into the normalized uint8 array would overflow."""
         if self.masked_bands is not None:
-            img = img.copy()
+            img = img.astype(np.float32, copy=True)
             for b in self.masked_bands:
-                img[..., b] = int(np.asarray(self.mean)[b])
+                img[..., b] = float(np.asarray(self.mean)[b])
+        return img
+
+    def _drop_bands(self, img: np.ndarray) -> np.ndarray:
         if self.dropped_bands is not None:
             keep = [i for i in range(img.shape[-1]) if i not in self.dropped_bands]
             img = img[..., keep]
@@ -231,9 +238,9 @@ class EurosatDataset(_MultibandMixin, Dataset):
             self.in_c = 13 - len(dropped_bands)
 
     def _load_raw(self, index: int) -> np.ndarray:
-        img = self._read_geotiff(self.paths[index])
+        img = self._mask_bands(self._read_geotiff(self.paths[index]))
         img = sentinel_normalize(img, self.mean, self.std)
-        return self._apply_bands(img)
+        return self._drop_bands(img)
 
 
 class SentinelDataset(_MultibandMixin, Dataset):
@@ -278,9 +285,9 @@ class SentinelDataset(_MultibandMixin, Dataset):
             self.in_c = 13 - len(dropped_bands)
 
     def _load_raw(self, index: int) -> np.ndarray:
-        img = self._read_geotiff(self.paths[index])
+        img = self._mask_bands(self._read_geotiff(self.paths[index]))
         img = sentinel_normalize(img, self.mean, self.std)
-        return self._apply_bands(img)
+        return self._drop_bands(img)
 
 
 class NaipDataset(Dataset):

@@ -57,11 +57,18 @@ class DataLoader:
             order = np.random.default_rng(self.seed * 100_003 + epoch).permutation(n)
         else:
             order = np.arange(n)
-        order = order[self.shard_id :: self.num_shards]
         if self.drop_last:
-            usable = (len(order) // self.batch_size) * self.batch_size
+            # Truncate the GLOBAL permutation to a multiple of
+            # num_shards * batch_size before striding so every host sees the
+            # same steps_per_epoch — otherwise hosts can execute different
+            # numbers of collective steps and the job hangs (the reference's
+            # DistributedSampler pads shards to equal length for the same
+            # reason).
+            usable = (
+                len(order) // (self.num_shards * self.batch_size)
+            ) * self.num_shards * self.batch_size
             order = order[:usable]
-        return order
+        return order[self.shard_id :: self.num_shards]
 
     def steps_per_epoch(self) -> int:
         n = len(self._epoch_indices(0))

@@ -193,9 +193,15 @@ struct Loader {
       size_t j = splitmix64(s) % i;
       std::swap(full[i - 1], full[j]);
     }
+    // Truncate the GLOBAL permutation to a multiple of num_shards*batch
+    // before striding so every shard gets the same batch count (matches
+    // Python _epoch_indices; unequal counts would desync multi-host SPMD).
+    if (drop_last) {
+      size_t group = (size_t)num_shards * (size_t)batch;
+      n = (n / group) * group;
+    }
     order.clear();
     for (size_t i = shard_id; i < n; i += num_shards) order.push_back(full[i]);
-    if (drop_last) order.resize((order.size() / batch) * batch);
     epoch_items = order.size();
     batches_total = drop_last ? epoch_items / batch
                               : (epoch_items + batch - 1) / batch;

@@ -195,18 +195,27 @@ def import_classifier_checkpoint(path: str, cfg: ViTClassifierConfig) -> Params:
     return params
 
 
-def merge_pretrained(template: Params, pretrained: Params) -> Params:
+def merge_pretrained(template: Params, pretrained: Params, _path: str = "") -> Params:
     """Overlay pretrained subtrees onto a freshly-initialized template
-    (= load_state_dict(strict=False) with shape checks)."""
+    (= load_state_dict(strict=False) with shape checks). A shape mismatch —
+    e.g. loading a ViT-B MAE into a ViT-L classifier — raises an actionable
+    error naming the parameter and both shapes (vs. the reference's bare
+    assert, main_linprobe.py:504-512)."""
     out = dict(template)
     for k, v in pretrained.items():
         if k not in template:
             continue
+        key = f"{_path}/{k}" if _path else str(k)
         if isinstance(v, dict) and isinstance(template[k], dict):
-            out[k] = merge_pretrained(template[k], v)
+            out[k] = merge_pretrained(template[k], v, key)
         else:
-            assert template[k].shape == v.shape, (
-                k, template[k].shape, v.shape
-            )
+            if template[k].shape != v.shape:
+                raise ValueError(
+                    f"pretrained checkpoint does not fit this model: "
+                    f"param '{key}' has shape {tuple(v.shape)} in the "
+                    f"checkpoint but {tuple(template[k].shape)} in the model "
+                    f"— check --model/--embed_dim/--depth/--num_heads "
+                    f"against the pretrained encoder's size"
+                )
             out[k] = v.astype(template[k].dtype)
     return out

@@ -84,3 +84,58 @@ class TestEndToEnd:
         ])
         res2 = linprobe.main(args2)
         assert 0.0 <= res2["max_acc"] <= 100.0
+
+    def test_finetune_resume_matches_uninterrupted(self, tmp_path):
+        """Train 3 epochs straight vs. 1 epoch + kill + resume for 2 more:
+        final metrics must match (VERDICT r1 #2; util/misc.py:382-411)."""
+        from cross_scale_mae_tpu.cli import finetune
+
+        common = [
+            "--model", "vit_base_patch16", "--embed_dim", "64",
+            "--depth", "2", "--num_heads", "4", "--input_size", "16",
+            "--patch_size", "8", "--dataset_type", "synthetic",
+            "--synthetic_len", "64", "--nb_classes", "4",
+            "--batch_size", "16", "--warmup_epochs", "0",
+            "--compute_dtype", "float32", "--log_interval", "2",
+            "--smoothing", "0.0", "--ckpt_interval", "1",
+        ]
+        full = finetune.main(finetune.get_args_parser().parse_args(
+            common + ["--epochs", "3", "--output_dir", str(tmp_path / "full")]
+        ))
+
+        part = finetune.main(finetune.get_args_parser().parse_args(
+            common + ["--epochs", "1", "--output_dir", str(tmp_path / "part")]
+        ))
+        ckpt = os.path.join(part["output_dir"], "checkpoints")
+        resumed = finetune.main(finetune.get_args_parser().parse_args(
+            common + ["--epochs", "3", "--resume", ckpt,
+                      "--output_dir", str(tmp_path / "resumed")]
+        ))
+        assert np.isclose(resumed["max_acc"], full["max_acc"], atol=1e-4), (
+            resumed["max_acc"], full["max_acc"]
+        )
+
+    def test_linprobe_resume_restores_epoch(self, tmp_path):
+        from cross_scale_mae_tpu.cli import linprobe
+
+        common = [
+            "--model", "vit_base_patch16", "--embed_dim", "64",
+            "--depth", "2", "--num_heads", "4", "--input_size", "16",
+            "--patch_size", "8", "--dataset_type", "synthetic",
+            "--synthetic_len", "64", "--nb_classes", "4",
+            "--batch_size", "16", "--warmup_epochs", "0",
+            "--compute_dtype", "float32", "--log_interval", "2",
+            "--ckpt_interval", "1",
+        ]
+        part = linprobe.main(linprobe.get_args_parser().parse_args(
+            common + ["--epochs", "1", "--output_dir", str(tmp_path / "p")]
+        ))
+        ckpt = os.path.join(part["output_dir"], "checkpoints")
+        resumed = linprobe.main(linprobe.get_args_parser().parse_args(
+            common + ["--epochs", "2", "--resume", ckpt,
+                      "--output_dir", str(tmp_path / "r")]
+        ))
+        # one epoch was skipped: exactly steps_per_epoch new steps ran
+        assert resumed["steps"] == part["steps"]
+        # max_acc carried over (can only stay or improve)
+        assert resumed["max_acc"] >= part["max_acc"] - 1e-6

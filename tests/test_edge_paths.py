@@ -41,6 +41,7 @@ class TestMultiband:
 
 
 class TestSsimLossTraining:
+    @pytest.mark.slow
     def test_ssim_loss_step_differentiable(self):
         cfg = get_mae_config(
             "mae_vit_tiny", input_size=16, patch_size=8, loss="ssim",

@@ -70,6 +70,7 @@ class TestBaseline:
         )
         assert _count(params) == expect
 
+    @pytest.mark.slow
     def test_vit_base_param_count_reference_scale(self):
         # ViT-B/16 at 224: encoder params should be ~85.8M like the reference
         # preset (models_mae/__init__.py:42-49 with timm blocks).
@@ -89,6 +90,7 @@ class TestBaseline:
         b = np.asarray(params["encoder_blocks"]["attn"]["qkv"]["bias"])
         assert (b == 0).all()
 
+    @pytest.mark.slow
     def test_unrolled_matches_scanned(self):
         # Execution-plan choice must not change numerics (incl. gradients).
         cfg_u = TINY.replace(scan_blocks=False)
@@ -196,6 +198,7 @@ class TestVariants:
 
 
 class TestClassifier:
+    @pytest.mark.slow
     def test_cls_and_global_pool_paths(self):
         for gp in (False, True):
             cfg = get_vit_config(

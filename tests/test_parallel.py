@@ -56,6 +56,7 @@ def test_data_parallel_step(tiny_setup):
     assert k.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single_device(tiny_setup):
     cfg, tcfg, sched, state = tiny_setup
     imgs = jnp.asarray(
@@ -92,6 +93,7 @@ def test_tensor_parallel_shardings(tiny_setup):
     assert shardings["cls_token"].spec == P()
 
 
+@pytest.mark.slow
 def test_shard_map_ddp_step(tiny_setup):
     # Manual-SPMD DDP mode: reference per-device semantics + pallas-capable.
     from cross_scale_mae_tpu.train.pretrain import make_pretrain_step_shard_map
@@ -121,6 +123,7 @@ def test_shard_map_ddp_step(tiny_setup):
     assert np.isfinite(float(metrics_p["loss"]))
 
 
+@pytest.mark.slow
 def test_zero1_optimizer_sharding(tiny_setup):
     cfg, tcfg, sched, state = tiny_setup
     mesh = make_mesh(model_parallel=1)
@@ -152,6 +155,7 @@ def test_zero1_optimizer_sharding(tiny_setup):
     )
 
 
+@pytest.mark.slow
 def test_tensor_parallel_step_runs(tiny_setup):
     cfg, tcfg, sched, state = tiny_setup
     mesh = make_mesh(model_parallel=2)

@@ -1,0 +1,238 @@
+"""Round-2 feature tests: band-mask ordering, equalized loader shards,
+merge_pretrained errors, padded/masked eval, shard_map grad accumulation,
+and the self-bootstrapping multi-chip dryrun."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+class TestMaskedBands:
+    def test_mask_before_normalize_maps_to_midgray(self):
+        # ADVICE r1: masking must happen on the RAW image before
+        # SentinelNormalize; raw-unit means written into uint8 overflow.
+        from cross_scale_mae_tpu.data.datasets import (
+            SENTINEL_MEAN,
+            SENTINEL_STD,
+            _MultibandMixin,
+            sentinel_normalize,
+        )
+
+        class Obj(_MultibandMixin):
+            mean, std = SENTINEL_MEAN, SENTINEL_STD
+
+        obj = Obj()
+        obj.masked_bands = [0, 2]
+        obj.dropped_bands = [5]
+        raw = np.random.default_rng(0).uniform(
+            0, 4000, size=(8, 8, 13)
+        ).astype(np.float32)
+        img = obj._mask_bands(raw)
+        img = sentinel_normalize(img, obj.mean, obj.std)
+        img = obj._drop_bands(img)
+        assert img.shape == (8, 8, 12)
+        # band mean maps to the exact center of the 2-sigma window = 127.5
+        assert np.all(np.isin(img[..., 0], (127, 128)))
+        assert np.all(np.isin(img[..., 2], (127, 128)))
+        # untouched band retains variation
+        assert img[..., 1].std() > 1
+
+
+class TestLoaderSharding:
+    def test_equal_steps_across_shards(self):
+        # n=15, 2 shards, bs=4: naive striding gives shards of 8 and 7 ->
+        # 2 vs 1 steps and a multi-host hang. Global truncation fixes it.
+        from cross_scale_mae_tpu.data.datasets import SyntheticDataset
+        from cross_scale_mae_tpu.data.loader import DataLoader
+
+        ds = SyntheticDataset(15, canvas_size=8)
+        loaders = [
+            DataLoader(ds, 4, shuffle=True, seed=3, drop_last=True,
+                       num_threads=1, shard_id=i, num_shards=2,
+                       use_native=False)
+            for i in range(2)
+        ]
+        steps = [ld.steps_per_epoch() for ld in loaders]
+        assert steps[0] == steps[1] == 1
+        # shards are disjoint
+        idx = [set(ld._epoch_indices(0).tolist()) for ld in loaders]
+        assert not (idx[0] & idx[1])
+
+    def test_native_loader_matches_equalization(self):
+        # The C++ loader applies the same global truncation.
+        from cross_scale_mae_tpu.data.native import get_library
+
+        if get_library() is None:
+            pytest.skip("native loader not built")
+        # (C++ path requires real JPEGs; index math is mirrored and covered
+        # by the Python test above — here we only assert the lib loads.)
+
+
+class TestMergePretrained:
+    def test_shape_mismatch_actionable_error(self):
+        from cross_scale_mae_tpu.utils.torch_import import merge_pretrained
+
+        template = {"head": {"kernel": np.zeros((8, 4), np.float32)}}
+        pre = {"head": {"kernel": np.ones((16, 4), np.float32)}}
+        with pytest.raises(ValueError, match="head/kernel"):
+            merge_pretrained(template, pre)
+
+    def test_merge_ok_and_missing_keys_kept(self):
+        from cross_scale_mae_tpu.utils.torch_import import merge_pretrained
+
+        template = {
+            "head": {"kernel": np.zeros((8, 4), np.float32)},
+            "other": np.zeros((3,), np.float32),
+        }
+        pre = {"head": {"kernel": np.ones((8, 4), np.float32)}}
+        out = merge_pretrained(template, pre)
+        assert out["head"]["kernel"].sum() == 32
+        assert out["other"].sum() == 0
+
+
+class TestPaddedEval:
+    def test_valid_mask_matches_unpadded(self):
+        from cross_scale_mae_tpu.configs import get_vit_config
+        from cross_scale_mae_tpu.models import vit_init
+        from cross_scale_mae_tpu.train.classify import make_eval_step
+
+        cfg = get_vit_config(
+            "vit_base_patch16", input_size=16, patch_size=8, num_classes=5,
+            embed_dim=64, depth=2, num_heads=4, compute_dtype="float32",
+        )
+        params, mstate = vit_init(jax.random.key(0), cfg)
+        ev = make_eval_step(cfg)
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.normal(size=(8, 16, 16, 3)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 5, size=(8,)))
+
+        # ground truth: first 5 rows, no padding/mask
+        ref = ev(params, mstate, imgs[:5], labels[:5])
+        # padded: full 8 rows, rows 5..7 marked invalid (garbage content)
+        valid = jnp.arange(8) < 5
+        padded = ev(params, mstate, imgs, labels, valid)
+        np.testing.assert_allclose(float(ref["loss"]), float(padded["loss"]),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(float(ref["acc1"]), float(padded["acc1"]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(ref["acc5"]), float(padded["acc5"]),
+                                   rtol=1e-6)
+        assert float(padded["n"]) == 5
+
+
+def test_accum_helper_matches_manual_average():
+    # The scan-based accumulator (shared by the gspmd AND shard_map steps)
+    # must equal the manual average of per-microbatch value_and_grad calls
+    # with split keys and threaded model_state.
+    from cross_scale_mae_tpu.train.pretrain import _accum_value_and_grads
+
+    from typing import NamedTuple
+
+    class Out(NamedTuple):
+        loss: jnp.ndarray
+        losses: dict
+        state: dict
+
+    w0 = {"w": jnp.asarray([1.0, -2.0]), "b": jnp.asarray(0.5)}
+    ms0 = {"count": jnp.asarray(0.0)}
+
+    def loss_fn(params, model_state, batch, rng):
+        noise = jax.random.normal(rng, ())
+        loss = jnp.sum((batch @ params["w"] + params["b"] + noise) ** 2)
+        # weighted total differs from sum(losses.values()) — ADVICE r1:
+        # the reported loss must be the optimized objective.
+        total = 2.0 * loss
+        return total, Out(total, {"term": loss},
+                          {"count": model_state["count"] + 1.0})
+
+    batch = jnp.asarray(
+        np.random.default_rng(0).normal(size=(8, 2)).astype(np.float32)
+    )
+    rng = jax.random.key(3)
+    grads, loss, losses, ms = _accum_value_and_grads(
+        loss_fn, w0, ms0, batch, rng, accum=4
+    )
+    keys = jax.random.split(rng, 4)
+    mbs = batch.reshape(4, 2, 2)
+    manual = [
+        jax.value_and_grad(loss_fn, has_aux=True)(w0, ms0, mbs[i], keys[i])
+        for i in range(4)
+    ]
+    np.testing.assert_allclose(
+        float(loss), np.mean([float(m[0][0]) for m in manual]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(losses["term"]),
+        np.mean([float(m[0][1].losses["term"]) for m in manual]), rtol=1e-6,
+    )
+    assert float(loss) != pytest.approx(float(losses["term"]))  # weight kept
+    np.testing.assert_allclose(
+        np.asarray(grads["w"]),
+        np.mean([np.asarray(m[1]["w"]) for m in manual], axis=0), rtol=1e-5,
+    )
+    assert float(ms["count"]) == 4.0  # model_state threaded through the scan
+
+
+@pytest.mark.slow
+def test_shard_map_accum_step_runs():
+    # VERDICT r1 #6: grad accumulation in shard_map DDP mode.
+    from cross_scale_mae_tpu.configs import TrainConfig, get_mae_config
+    from cross_scale_mae_tpu.models import mae_init
+    from cross_scale_mae_tpu.parallel import (
+        batch_sharding,
+        make_mesh,
+        shard_train_state,
+    )
+    from cross_scale_mae_tpu.train import (
+        TrainState,
+        build_optimizer,
+        warmup_half_cosine,
+    )
+    from cross_scale_mae_tpu.train.pretrain import make_pretrain_step_shard_map
+
+    cfg = get_mae_config(
+        "mae_vit_tiny_MsLd", input_size=16, patch_size=8,
+        compute_dtype="float32",
+    )
+    tcfg = TrainConfig(epochs=1, warmup_epochs=0, blr=1e-3, accum_iter=2)
+    params, mstate = mae_init(jax.random.key(0), cfg)
+    sched = warmup_half_cosine(1e-3, 0.0, 0, 1, 10)
+    tx = build_optimizer(params, sched)
+    state = TrainState.create(params, mstate, tx)
+    mesh = make_mesh(model_parallel=1)
+    state = shard_train_state(mesh, state, tensor_parallel=False)
+
+    # 8 shards x accum 2 x micro 2 = 32 images per optimizer step.
+    imgs = jnp.asarray(
+        np.random.default_rng(0).normal(size=(32, 16, 16, 3)).astype(np.float32)
+    )
+    batch = jax.device_put(imgs, batch_sharding(mesh))
+    step = make_pretrain_step_shard_map(cfg, tcfg, sched, mesh, donate=False)
+    new_state, metrics = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert new_state.params["patch_embed"]["kernel"].sharding.is_fully_replicated
+    assert not np.allclose(
+        np.asarray(new_state.params["patch_embed"]["kernel"]),
+        np.asarray(state.params["patch_embed"]["kernel"]),
+    )
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_bootstraps_subprocess():
+    # Driver scenario: calling process has fewer devices than requested ->
+    # the function must re-exec itself on a virtual CPU mesh (round-1's only
+    # red driver artifact).
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    try:
+        import __graft_entry__ as g
+    finally:
+        sys.path.pop(0)
+    # 16 > the 8 devices this test process has -> exercises the subprocess.
+    g.dryrun_multichip(16)

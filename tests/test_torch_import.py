@@ -142,6 +142,7 @@ def _torch_reference_forward(model, imgs_nchw, enc_pos, dec_pos):
     return enc.numpy(), pred.numpy()
 
 
+@pytest.mark.slow
 def test_full_forward_parity(golden, cfg):
     from cross_scale_mae_tpu.ops.pos_embed import get_2d_sincos_pos_embed
 
@@ -173,6 +174,7 @@ def test_full_forward_parity(golden, cfg):
     np.testing.assert_allclose(np.asarray(pred), ref_pred, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_gradient_parity_with_torch_autograd(golden, cfg):
     """Backward-pass parity: d(mse_loss)/d(params) matches torch autograd
     on the imported weights (mask_ratio=0 deterministic path)."""

@@ -136,6 +136,7 @@ class TestPretrainStep:
         assert last < first * 0.9, (first, last)
         assert int(state.step) == 30
 
+    @pytest.mark.slow
     def test_multiscale_step_runs(self):
         cfg, state, step = self._setup(variant="MsLdCeCd")
         imgs = jnp.asarray(
@@ -145,6 +146,7 @@ class TestPretrainStep:
         for k in ("loss", "loss_d", "loss_cd", "loss_ce", "grad_norm", "lr"):
             assert np.isfinite(float(metrics[k])), k
 
+    @pytest.mark.slow
     def test_accum_equivalence_single_batch(self):
         # accum=2 over a duplicated microbatch == accum=1 on that microbatch
         cfg, state1, step1 = self._setup(accum=1)
