@@ -36,7 +36,7 @@ import time
 BASELINE_REF_IMGS_PER_SEC_PER_CHIP = 380.0
 
 
-def _setup(scan_blocks=False, attention_impl="pallas", batch_crop=False):
+def _setup(scan_blocks=False, attention_impl="pallas_v3", batch_crop=False):
     import jax
     import numpy as np
 
@@ -53,13 +53,15 @@ def _setup(scan_blocks=False, attention_impl="pallas", batch_crop=False):
     cfg = get_mae_config(
         "mae_vit_base_MsLdCeCd", input_size=128, patch_size=16,
         mask_ratio=0.75, compute_dtype="bfloat16",
-        # Fastest measured plan (benchmarks/sweep.py, round 1): unrolled
-        # layer loop (kills scan residual-stacking copies) + Pallas fused
-        # attention with recompute backward. 1222 -> 1522 imgs/s/chip.
+        # Fastest measured plan (benchmarks/sweep.py): unrolled layer loop
+        # (kills scan residual-stacking copies; round 1, 1222 -> 1522) +
+        # the v3 natural-layout Pallas attention (consumes the qkv matmul
+        # output directly; kills the head fold/unfold HBM transposes;
+        # round 2, 1520 -> 1945 @ b128, 2004 @ b256).
         scan_blocks=scan_blocks, attention_impl=attention_impl,
         ms_per_sample_crop=not batch_crop,
     )
-    batch_per_chip = 128
+    batch_per_chip = 256 if attention_impl == "pallas_v3" else 128
     batch = batch_per_chip * n_chips
     tcfg = TrainConfig(epochs=400, warmup_epochs=40, batch_size=batch, blr=5e-5)
     mesh = make_mesh(model_parallel=1)

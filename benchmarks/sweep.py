@@ -110,6 +110,12 @@ def main():
         "b160_unroll_pallas": (base.replace(scan_blocks=False, attention_impl="pallas"), 160),
         "b192_unroll_pallas": (base.replace(scan_blocks=False, attention_impl="pallas"), 192),
         "b128_unroll_pallas_t": (base.replace(scan_blocks=False, attention_impl="pallas_t"), 128),
+        "b128_unroll_pallas3": (base.replace(scan_blocks=False, attention_impl="pallas_v3"), 128),
+        "b128_scan_pallas3": (base.replace(attention_impl="pallas_v3"), 128),
+        "b192_unroll_pallas3": (base.replace(scan_blocks=False, attention_impl="pallas_v3"), 192),
+        "b256_unroll_pallas3": (base.replace(scan_blocks=False, attention_impl="pallas_v3"), 256),
+        "b384_unroll_pallas3": (base.replace(scan_blocks=False, attention_impl="pallas_v3"), 384),
+        "b512_unroll_pallas3": (base.replace(scan_blocks=False, attention_impl="pallas_v3"), 512),
     }
     if args.variants:
         variants = {k: v for k, v in variants.items() if k in args.variants}

@@ -29,7 +29,7 @@ def add_runtime_args(p: argparse.ArgumentParser):
     g.add_argument("--log_interval", default=20, type=int)
     g.add_argument(
         "--attention_impl", default=None,
-        choices=["xla", "pallas", "local", "fourier_mix"],
+        choices=["xla", "pallas", "pallas_v3", "local", "fourier_mix"],
         help="execution/variant choice; overrides --attention",
     )
     g.add_argument(

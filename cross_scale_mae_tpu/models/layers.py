@@ -131,6 +131,13 @@ def attention(p: Params, x: jnp.ndarray, num_heads: int, impl: str = "xla") -> j
     extra reshapes cost copies. Keep the natural batched layout."""
     if impl == "pallas_t":
         return _attention_pallas_t(p, x, num_heads)
+    if impl == "pallas_v3":
+        # Natural-layout kernel: consumes the qkv matmul output directly and
+        # returns proj's input layout — no head fold/unfold transposes
+        # (ops/attention.py v3; GSPMD-partitionable via custom_partitioning).
+        from cross_scale_mae_tpu.ops.attention import mha_v3
+
+        return linear(p["proj"], mha_v3(linear(p["qkv"], x), num_heads))
     n, l, d = x.shape
     head_dim = d // num_heads
     qkv = linear(p["qkv"], x)  # (N, L, 3D)
