@@ -29,15 +29,17 @@ def add_runtime_args(p: argparse.ArgumentParser):
     g.add_argument("--log_interval", default=20, type=int)
     g.add_argument(
         "--attention_impl", default=None,
-        choices=["xla", "pallas", "pallas_v3", "local", "fourier_mix"],
+        choices=["xla", "pallas", "pallas_v3", "linformer", "orthoformer",
+                 "nystrom", "local", "fourier_mix"],
         help="execution/variant choice; overrides --attention",
     )
     g.add_argument(
         "--attention", default="scaled_dot_product",
-        choices=["scaled_dot_product", "local", "fourier_mix"],
+        choices=["scaled_dot_product", "linformer", "orthoformer", "nystrom",
+                 "local", "fourier_mix"],
         help="reference-style attention name (main_pretrain.py:101-119); "
-             "parameterized xFormers variants (linformer/orthoformer/nystrom)"
-             " are out of scope",
+             "'shunted' maps to modules missing from the reference "
+             "(its defect #1) and is not carried",
     )
     g.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace of steps 10-30 here")

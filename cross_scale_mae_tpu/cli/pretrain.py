@@ -94,6 +94,9 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="unrolled layer loop (faster steps, slower compile)")
     p.add_argument("--zero1", action="store_true",
                    help="shard optimizer state over the data axis (ZeRO-1)")
+    p.add_argument("--watch_gradients", action="store_true",
+                   help="log per-subtree gradient norms (wandb.watch "
+                        "equivalent, main_pretrain.py:537)")
     p.add_argument("--ddp_mode", default="gspmd", choices=["gspmd", "shard_map"],
                    help="shard_map = manual SPMD with reference per-device "
                         "DDP semantics (local NT-Xent negatives/BN stats); "
@@ -136,6 +139,7 @@ def main(args) -> dict:
         ckpt_interval_epochs=args.ckpt_interval,
         consistent_mask=args.consistent_mask,
         mask_seed=args.mask_seed,
+        watch_gradients=args.watch_gradients,
     )
     if args.mask_seed is not None:
         rank0_print(

@@ -105,7 +105,9 @@ class MAEConfig:
     # Compute policy (TPU-specific; no reference equivalent).
     compute_dtype: str = "bfloat16"   # activations
     param_dtype: str = "float32"
-    attention_impl: str = "xla"       # "xla" | "pallas"
+    attention_impl: str = "xla"       # xla | pallas | pallas_v3 | linformer
+                                      # | orthoformer | nystrom | local
+                                      # | fourier_mix
     remat: bool = False               # jax.checkpoint each block
     # Flat (N*L, D) scan carry: avoids sublane padding of the tiny
     # sequence dim (see layers.run_blocks_flat).
@@ -287,6 +289,11 @@ class TrainConfig:
     ckpt_interval_epochs: int = 25   # main_pretrain.py:579
     mask_seed: int | None = None
     consistent_mask: bool = False
+    # wandb.watch equivalent (main_pretrain.py:537): per-subtree gradient
+    # norms computed IN-GRAPH (full histograms would force a host fetch of
+    # every gradient tensor each step — a pipeline stall on TPU; the
+    # per-layer norm carries the same vanishing/exploding signal).
+    watch_gradients: bool = False
 
     def resolved_lr(self, world_batch: int) -> float:
         if self.lr is not None:

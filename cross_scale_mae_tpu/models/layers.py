@@ -46,18 +46,31 @@ def layer_norm_init(dim: int) -> Params:
     return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
 
 
-def block_init(rng: jax.Array, dim: int, mlp_ratio: int = 4) -> Params:
-    """One pre-LN transformer block (timm Block layout, qkv fused)."""
-    k_qkv, k_proj, k_fc1, k_fc2 = jax.random.split(rng, 4)
+def block_init(
+    rng: jax.Array, dim: int, mlp_ratio: int = 4,
+    attn_variant: str | None = None, seq_len: int | None = None,
+) -> Params:
+    """One pre-LN transformer block (timm Block layout, qkv fused).
+
+    ``attn_variant='linformer'`` adds the learned sequence-projection
+    matrices E/F (xFormers LinformerAttention; k = seq_len//4), sized to the
+    declared ``seq_len`` = num_patches+1 (MAE_ViT_Baseline.py:110)."""
+    k_qkv, k_proj, k_fc1, k_fc2, k_e, k_f = jax.random.split(rng, 6)
     hidden = dim * mlp_ratio
+    attn: Params = {
+        # Reference init treats the fused qkv as one Linear(dim, 3*dim)
+        # (MAE_ViT_Baseline.py:233-238 xavier over the full matrix).
+        "qkv": linear_init(k_qkv, dim, 3 * dim),
+        "proj": linear_init(k_proj, dim, dim),
+    }
+    if attn_variant == "linformer":
+        assert seq_len is not None, "linformer needs seq_len at init"
+        proj_k = max(seq_len // 4, 1)
+        attn["e_proj"] = xavier_uniform(k_e, (seq_len, proj_k), seq_len, proj_k)
+        attn["f_proj"] = xavier_uniform(k_f, (seq_len, proj_k), seq_len, proj_k)
     return {
         "norm1": layer_norm_init(dim),
-        "attn": {
-            # Reference init treats the fused qkv as one Linear(dim, 3*dim)
-            # (MAE_ViT_Baseline.py:233-238 xavier over the full matrix).
-            "qkv": linear_init(k_qkv, dim, 3 * dim),
-            "proj": linear_init(k_proj, dim, dim),
-        },
+        "attn": attn,
         "norm2": layer_norm_init(dim),
         "mlp": {
             "fc1": linear_init(k_fc1, dim, hidden),
@@ -66,10 +79,15 @@ def block_init(rng: jax.Array, dim: int, mlp_ratio: int = 4) -> Params:
     }
 
 
-def stacked_blocks_init(rng: jax.Array, num_layers: int, dim: int, mlp_ratio: int = 4) -> Params:
+def stacked_blocks_init(
+    rng: jax.Array, num_layers: int, dim: int, mlp_ratio: int = 4,
+    attn_variant: str | None = None, seq_len: int | None = None,
+) -> Params:
     """num_layers blocks with leading stack axis on every leaf."""
     keys = jax.random.split(rng, num_layers)
-    blocks = [block_init(k, dim, mlp_ratio) for k in keys]
+    blocks = [
+        block_init(k, dim, mlp_ratio, attn_variant, seq_len) for k in keys
+    ]
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *blocks)
 
 
@@ -149,6 +167,18 @@ def attention(p: Params, x: jnp.ndarray, num_heads: int, impl: str = "xla") -> j
         from cross_scale_mae_tpu.ops.attention import mha
 
         out = mha(q, k, v)
+    elif impl == "linformer":
+        from cross_scale_mae_tpu.ops.attention import linformer_mha
+
+        out = linformer_mha(q, k, v, p["e_proj"], p["f_proj"])
+    elif impl == "nystrom":
+        from cross_scale_mae_tpu.ops.attention import nystrom_mha
+
+        out = nystrom_mha(q, k, v)
+    elif impl == "orthoformer":
+        from cross_scale_mae_tpu.ops.attention import orthoformer_mha
+
+        out = orthoformer_mha(q, k, v)
     elif impl == "local":
         from cross_scale_mae_tpu.ops.attention import local_mha
 

@@ -82,13 +82,17 @@ def mae_init(rng: jax.Array, cfg: MAEConfig) -> tuple[Params, Params]:
         "patch_embed": layers.linear_init(keys[0], cfg.patch_dim, d),
         "cls_token": 0.02 * jax.random.normal(keys[1], (1, 1, d), jnp.float32),
         "mask_token": 0.02 * jax.random.normal(keys[2], (1, 1, dd), jnp.float32),
+        # seq_len = num_patches+1 for BOTH stacks (the reference passes the
+        # same seq_len to encoder and decoder, MAE_ViT_Baseline.py:110,143).
         "encoder_blocks": layers.stacked_blocks_init(
-            keys[3], cfg.encoder_num_layers, d, cfg.ffn_ratio
+            keys[3], cfg.encoder_num_layers, d, cfg.ffn_ratio,
+            cfg.attention_impl, cfg.num_patches + 1
         ),
         "encoder_norm": layers.layer_norm_init(d),
         "decoder_embed": layers.linear_init(keys[4], d, dd),
         "decoder_blocks": layers.stacked_blocks_init(
-            keys[5], cfg.decoder_num_layers, dd, cfg.ffn_ratio
+            keys[5], cfg.decoder_num_layers, dd, cfg.ffn_ratio,
+            cfg.attention_impl, cfg.num_patches + 1
         ),
         "decoder_norm": layers.layer_norm_init(dd),
         "decoder_pred": layers.linear_init(keys[6], dd, cfg.patch_dim),

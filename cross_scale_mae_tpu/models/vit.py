@@ -40,7 +40,10 @@ def vit_init(rng: jax.Array, cfg: ViTClassifierConfig) -> tuple[Params, Params]:
         "cls_token": 0.02 * jax.random.normal(keys[1], (1, 1, d), jnp.float32),
         # Trainable, initialized to the fixed sin-cos table (models_vit.py:24-29).
         "pos_embed": get_2d_sincos_pos_embed(d, cfg.grid_size, cls_token=True)[None],
-        "blocks": layers.stacked_blocks_init(keys[2], cfg.depth, d, cfg.mlp_ratio),
+        "blocks": layers.stacked_blocks_init(
+            keys[2], cfg.depth, d, cfg.mlp_ratio, cfg.attention_impl,
+            cfg.num_patches + 1,
+        ),
         "head": {
             # timm head init: trunc_normal(0.02); entry points re-init with
             # their own std (main_finetune.py:618 / main_linprobe.py).

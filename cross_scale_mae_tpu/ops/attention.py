@@ -548,12 +548,121 @@ def xla_mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
 
 # --------------------------------------------------------------------------
 # Alternative attention variants. The reference exposes xFormers research
-# attentions behind ``--attention`` (main_pretrain.py:101-119: linformer,
-# orthoformer, nystrom, fourier_mix, local, ...). At 17-257 tokens none of
-# them buys anything on TPU (SURVEY.md §2 marks them optional), but the
-# parameter-free ones are carried for flag-surface parity. The parameterized
-# ones (linformer/orthoformer/nystrom) remain out of scope.
+# attentions behind ``--attn_name`` (main_pretrain.py:101-119: linformer,
+# orthoformer, nystrom, fourier_mix, local, shunted). At 17-257 tokens none
+# of them buys anything on TPU (SURVEY.md §2 marks them optional), but all
+# six xFormers-backed names are carried for flag-surface parity — including
+# the parameterized ones (linformer's learned sequence projections live in
+# each block's attn params). 'shunted' maps to the four missing
+# models_mae_shunted modules (reference defect #1) and stays out of scope.
 # --------------------------------------------------------------------------
+
+
+def linformer_mha(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    e_proj: jnp.ndarray, f_proj: jnp.ndarray,
+) -> jnp.ndarray:
+    """Linformer attention (Wang et al. 2020; xFormers 'linformer').
+
+    K and V are projected along the SEQUENCE axis by learned matrices E/F of
+    shape (seq_len, proj_k) sized at init to the declared seq_len
+    (num_patches+1, MAE_ViT_Baseline.py:110); when the actual sequence is
+    shorter (masked encoder), the projection rows are sliced to L."""
+    n, l, h, hd = q.shape
+    e = e_proj[:l].astype(q.dtype)   # (L, m)
+    f = f_proj[:l].astype(q.dtype)
+    k_p = jnp.einsum("nlhd,lm->nmhd", k, e)
+    v_p = jnp.einsum("nlhd,lm->nmhd", v, f)
+    logits = jnp.einsum(
+        "nqhd,nmhd->nhqm", q, k_p, preferred_element_type=jnp.float32
+    ) * (hd ** -0.5)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("nhqm,nmhd->nqhd", probs, v_p)
+
+
+def _iterative_pinv(s: jnp.ndarray, iters: int = 6) -> jnp.ndarray:
+    """Newton-Schulz Moore-Penrose pseudo-inverse of a row-stochastic
+    (..., m, m) matrix (the Nystromformer recipe, 6 iterations)."""
+    m = s.shape[-1]
+    eye = jnp.eye(m, dtype=s.dtype)
+    # init: z = sT / (max row sum * max col sum) guarantees convergence
+    denom = (
+        jnp.max(jnp.sum(jnp.abs(s), axis=-1), axis=-1, keepdims=True)
+        * jnp.max(jnp.sum(jnp.abs(s), axis=-2), axis=-1, keepdims=True)
+    )[..., None]
+    z = jnp.swapaxes(s, -1, -2) / denom
+    for _ in range(iters):
+        sz = s @ z
+        z = 0.25 * z @ (13 * eye - sz @ (15 * eye - sz @ (7 * eye - sz)))
+    return z
+
+
+def _segment_means(x: jnp.ndarray, m: int) -> jnp.ndarray:
+    """(N, L, H, hd) -> (N, m, H, hd) segment means along L (zero-padded to
+    a multiple of m; each segment divides by its true element count)."""
+    n, l, h, hd = x.shape
+    seg = -(-l // m)  # ceil
+    pad = seg * m - l
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    sums = xp.reshape(n, m, seg, h, hd).sum(axis=2)
+    counts = jnp.clip(
+        jnp.minimum(l - jnp.arange(m) * seg, seg), 1, seg
+    ).astype(x.dtype)
+    return sums / counts[None, :, None, None]
+
+
+def nystrom_mha(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_landmarks: int = 64
+) -> jnp.ndarray:
+    """Nystromformer attention (Xiong et al. 2021; xFormers 'nystrom'):
+    softmax(Q K̃ᵀ) · pinv(softmax(Q̃ K̃ᵀ)) · softmax(Q̃ Kᵀ) V with landmark
+    segment means and an iterative pseudo-inverse. Falls back to exact
+    attention when L <= num_landmarks."""
+    n, l, h, hd = q.shape
+    if l <= num_landmarks:
+        return xla_mha(q, k, v)
+    scale = hd ** -0.5
+    m = num_landmarks
+    q_l = _segment_means(q, m)  # (N, m, H, hd)
+    k_l = _segment_means(k, m)
+    f1 = jax.nn.softmax(
+        jnp.einsum("nqhd,nmhd->nhqm", q, k_l,
+                   preferred_element_type=jnp.float32) * scale, axis=-1)
+    f2 = jax.nn.softmax(
+        jnp.einsum("nahd,nbhd->nhab", q_l, k_l,
+                   preferred_element_type=jnp.float32) * scale, axis=-1)
+    f3 = jax.nn.softmax(
+        jnp.einsum("nmhd,nkhd->nhmk", q_l, k,
+                   preferred_element_type=jnp.float32) * scale, axis=-1)
+    out = f1 @ _iterative_pinv(f2) @ (
+        f3 @ v.transpose(0, 2, 1, 3).astype(jnp.float32)
+    )  # (N, H, L, hd)
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
+
+def orthoformer_mha(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_landmarks: int = 32
+) -> jnp.ndarray:
+    """Orthoformer-style landmark attention (Motionformer; xFormers
+    'orthoformer'): queries attend to a landmark subset of Q, landmarks
+    attend to all of K/V — O(L·m). Landmarks are a deterministic strided
+    subset of the queries (the xFormers OMP selection is replaced by
+    striding, which is XLA-friendly; at 17-257 tokens the approximation
+    quality is equivalent). Falls back to exact attention for L <= m."""
+    n, l, h, hd = q.shape
+    if l <= num_landmarks:
+        return xla_mha(q, k, v)
+    scale = hd ** -0.5
+    idx = jnp.linspace(0, l - 1, num_landmarks).astype(jnp.int32)
+    q_l = q[:, idx]  # (N, m, H, hd)
+    attn1 = jax.nn.softmax(
+        jnp.einsum("nqhd,nmhd->nhqm", q, q_l,
+                   preferred_element_type=jnp.float32) * scale, axis=-1)
+    attn2 = jax.nn.softmax(
+        jnp.einsum("nmhd,nkhd->nhmk", q_l, k,
+                   preferred_element_type=jnp.float32) * scale, axis=-1)
+    out = attn1 @ (attn2 @ v.transpose(0, 2, 1, 3).astype(jnp.float32))
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
 
 
 def local_mha(

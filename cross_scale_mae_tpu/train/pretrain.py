@@ -197,6 +197,11 @@ def make_pretrain_step(
         metrics.update(
             loss=loss, grad_norm=gnorm, lr=schedule(state.step),
         )
+        if tcfg.watch_gradients:
+            # wandb.watch equivalent (main_pretrain.py:537): per-subtree
+            # gradient norms, in-graph (see TrainConfig.watch_gradients).
+            for name, sub in grads.items():
+                metrics[f"gnorm/{name}"] = global_norm(sub)
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

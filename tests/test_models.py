@@ -278,6 +278,76 @@ class TestAttentionImpls:
             out = mae_apply(params, cfg, make_imgs(), jax.random.key(1))
             assert np.isfinite(float(out.loss))
 
+    def test_parameterized_variants(self):
+        # linformer/orthoformer/nystrom (xFormers names, main_pretrain.py:
+        # 101-119): shape/finiteness + approximation sanity.
+        from cross_scale_mae_tpu.ops.attention import (
+            linformer_mha,
+            nystrom_mha,
+            orthoformer_mha,
+            xla_mha,
+        )
+
+        rng = np.random.default_rng(4)
+        n, l, h, hd = 2, 48, 4, 8
+        q, k, v = (
+            jnp.asarray(rng.normal(size=(n, l, h, hd)).astype(np.float32))
+            for _ in range(3)
+        )
+        exact = np.asarray(xla_mha(q, k, v))
+
+        e = jnp.asarray(rng.normal(size=(l, l // 4)).astype(np.float32)) * 0.3
+        f = jnp.asarray(rng.normal(size=(l, l // 4)).astype(np.float32)) * 0.3
+        lin = linformer_mha(q, k, v, e, f)
+        assert lin.shape == q.shape and np.isfinite(np.asarray(lin)).all()
+        # declared seq_len longer than actual L: rows are sliced
+        e_big = jnp.concatenate([e, e], axis=0)
+        f_big = jnp.concatenate([f, f], axis=0)
+        np.testing.assert_allclose(
+            np.asarray(linformer_mha(q, k, v, e_big, f_big)),
+            np.asarray(lin), atol=1e-6,
+        )
+
+        # Nystrom approximation improves monotonically with landmarks
+        # (iid-gaussian inputs are the hardest case for landmark means).
+        corrs = []
+        for m in (8, 24):
+            ny = np.asarray(nystrom_mha(q, k, v, num_landmarks=m))
+            assert np.isfinite(ny).all()
+            corrs.append(np.corrcoef(ny.ravel(), exact.ravel())[0, 1])
+        assert corrs[1] > corrs[0] and corrs[1] > 0.9, corrs
+        # L <= landmarks falls back to exact
+        np.testing.assert_allclose(
+            np.asarray(nystrom_mha(q, k, v, num_landmarks=64)), exact,
+            atol=1e-5,
+        )
+
+        ot = np.asarray(orthoformer_mha(q, k, v, num_landmarks=16))
+        assert ot.shape == q.shape and np.isfinite(ot).all()
+        np.testing.assert_allclose(
+            np.asarray(orthoformer_mha(q, k, v, num_landmarks=64)), exact,
+            atol=1e-5,
+        )
+
+    def test_variant_models_train(self):
+        # Full MAE forward + grad with each parameterized variant (linformer
+        # carries learned E/F per block).
+        for impl in ("linformer", "orthoformer", "nystrom"):
+            cfg = TINY.replace(attention_impl=impl)
+            params, state = mae_init(jax.random.key(0), cfg)
+            if impl == "linformer":
+                e = params["encoder_blocks"]["attn"]["e_proj"]
+                assert e.shape[1] == cfg.num_patches + 1  # stacked layers
+            out = mae_apply(params, cfg, make_imgs(), jax.random.key(1))
+            assert np.isfinite(float(out.loss))
+            g = jax.grad(
+                lambda p: mae_apply(p, cfg, make_imgs(), jax.random.key(1)).loss
+            )(params)
+            gsum = float(
+                sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g))
+            )
+            assert np.isfinite(gsum) and gsum > 0
+
     def test_pallas_v3_matches_xla_fwd_and_vjp(self):
         # v3: natural-layout kernel on the raw qkv projection output.
         from cross_scale_mae_tpu.ops.attention import pallas_mha_v3, xla_mha
