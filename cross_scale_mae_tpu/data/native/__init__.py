@@ -36,7 +36,7 @@ def build_library(force: bool = False) -> str | None:
             return None
         cmd = [
             "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-            "-pthread", _SRC, "-o", _SO, "-ljpeg",
+            "-pthread", _SRC, "-o", _SO, "-ljpeg", "-lpng",
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=180)
@@ -59,7 +59,7 @@ def get_library():
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.csmae_loader_start_epoch.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.csmae_loader_next.restype = ctypes.c_int
@@ -103,10 +103,12 @@ class NativeJpegLoader:
 
     @classmethod
     def maybe_create(cls, dataset, batch_size: int, loader) -> Optional["NativeJpegLoader"]:
-        # JPEG-backed RGB shuffled datasets only (others fall back to Python).
-        if dataset.in_c != 3 or len(dataset) == 0 or not loader.shuffle:
+        # JPEG/PNG-backed RGB datasets, shuffled (train) or sequential
+        # (eval); everything else falls back to the Python path.
+        if dataset.in_c != 3 or len(dataset) == 0:
             return None
-        if not all(p.lower().endswith((".jpg", ".jpeg")) for p in dataset.paths[:64]):
+        exts = (".jpg", ".jpeg", ".png")
+        if not all(p.lower().endswith(exts) for p in dataset.paths[:64]):
             return None
         lib = get_library()
         if lib is None:
@@ -119,7 +121,7 @@ class NativeJpegLoader:
             labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             n, batch_size, dataset.canvas_size, 3,
             loader.num_threads, 3, loader.seed, loader.shard_id,
-            loader.num_shards, int(loader.drop_last),
+            loader.num_shards, int(loader.drop_last), int(loader.shuffle),
         )
         if not handle:
             return None

@@ -1,4 +1,4 @@
-// Native data-loading core: threaded JPEG decode + batch assembly.
+// Native data-loading core: threaded JPEG/PNG decode + batch assembly.
 //
 // TPU-native replacement for the reference's CPU dataloader workers
 // (torch DataLoader with num_workers=os.cpu_count(), main_pretrain.py:389-394
@@ -31,6 +31,7 @@
 
 #include <csetjmp>
 #include <jpeglib.h>
+#include <png.h>
 
 namespace {
 
@@ -53,6 +54,40 @@ struct JpegErrorMgr {
 void jpeg_error_exit(j_common_ptr cinfo) {
   auto *err = reinterpret_cast<JpegErrorMgr *>(cinfo->err);
   longjmp(err->setjmp_buffer, 1);
+}
+
+// Bilinear resample an RGB (w, h) buffer to (canvas, canvas).
+void bilinear_to_canvas(const uint8_t *src, int w, int h, int canvas,
+                        uint8_t *out) {
+  if (w == canvas && h == canvas) {
+    memcpy(out, src, (size_t)canvas * canvas * 3);
+    return;
+  }
+  const float sx = (float)w / canvas, sy = (float)h / canvas;
+  for (int y = 0; y < canvas; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = (int)fy;
+    if (fy < 0) { fy = 0; y0 = 0; }
+    int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
+    float wy = fy - y0;
+    for (int x = 0; x < canvas; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      int x0 = (int)fx;
+      if (fx < 0) { fx = 0; x0 = 0; }
+      int x1 = x0 + 1 < w ? x0 + 1 : w - 1;
+      float wx = fx - x0;
+      const uint8_t *p00 = &src[((size_t)y0 * w + x0) * 3];
+      const uint8_t *p01 = &src[((size_t)y0 * w + x1) * 3];
+      const uint8_t *p10 = &src[((size_t)y1 * w + x0) * 3];
+      const uint8_t *p11 = &src[((size_t)y1 * w + x1) * 3];
+      uint8_t *dst = out + ((size_t)y * canvas + x) * 3;
+      for (int ch = 0; ch < 3; ++ch) {
+        float v = (1 - wy) * ((1 - wx) * p00[ch] + wx * p01[ch]) +
+                  wy * ((1 - wx) * p10[ch] + wx * p11[ch]);
+        dst[ch] = (uint8_t)(v + 0.5f);
+      }
+    }
+  }
 }
 
 // Decode a JPEG file into RGB and box-resample into out[h*w*3] (uint8).
@@ -102,37 +137,66 @@ bool decode_jpeg_to_canvas(const char *path, int canvas, uint8_t *out) {
   jpeg_destroy_decompress(&cinfo);
   fclose(f);
 
-  // Bilinear resample (w, h) -> (canvas, canvas).
-  if (w == canvas && h == canvas) {
-    memcpy(out, decoded.data(), (size_t)canvas * canvas * 3);
-    return true;
-  }
-  const float sx = (float)w / canvas, sy = (float)h / canvas;
-  for (int y = 0; y < canvas; ++y) {
-    float fy = (y + 0.5f) * sy - 0.5f;
-    int y0 = (int)fy;
-    if (fy < 0) { fy = 0; y0 = 0; }
-    int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
-    float wy = fy - y0;
-    for (int x = 0; x < canvas; ++x) {
-      float fx = (x + 0.5f) * sx - 0.5f;
-      int x0 = (int)fx;
-      if (fx < 0) { fx = 0; x0 = 0; }
-      int x1 = x0 + 1 < w ? x0 + 1 : w - 1;
-      float wx = fx - x0;
-      const uint8_t *p00 = &decoded[((size_t)y0 * w + x0) * 3];
-      const uint8_t *p01 = &decoded[((size_t)y0 * w + x1) * 3];
-      const uint8_t *p10 = &decoded[((size_t)y1 * w + x0) * 3];
-      const uint8_t *p11 = &decoded[((size_t)y1 * w + x1) * 3];
-      uint8_t *dst = out + ((size_t)y * canvas + x) * 3;
-      for (int ch = 0; ch < 3; ++ch) {
-        float v = (1 - wy) * ((1 - wx) * p00[ch] + wx * p01[ch]) +
-                  wy * ((1 - wx) * p10[ch] + wx * p11[ch]);
-        dst[ch] = (uint8_t)(v + 0.5f);
-      }
-    }
-  }
+  bilinear_to_canvas(decoded.data(), w, h, canvas, out);
   return true;
+}
+
+// ------------------------------------------------------------- PNG decode
+
+// Decode a PNG into 8-bit RGB (palette expanded, gray promoted, alpha
+// stripped) and bilinear-resample to the canvas.
+bool decode_png_to_canvas(const char *path, int canvas, uint8_t *out) {
+  FILE *f = fopen(path, "rb");
+  if (!f) return false;
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    fclose(f);
+    return false;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info || setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
+    fclose(f);
+    return false;
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+  png_set_expand(png);             // palette/gray/low-bit -> 8-bit
+  png_set_strip_16(png);           // 16-bit -> 8-bit
+  png_set_strip_alpha(png);        // drop alpha
+  png_set_gray_to_rgb(png);        // gray -> RGB
+  png_read_update_info(png, info);
+  const int w = png_get_image_width(png, info);
+  const int h = png_get_image_height(png, info);
+  if ((int)png_get_channels(png, info) != 3) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    return false;
+  }
+  std::vector<uint8_t> decoded((size_t)w * h * 3);
+  std::vector<png_bytep> rows(h);
+  for (int y = 0; y < h; ++y) rows[y] = decoded.data() + (size_t)y * w * 3;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  fclose(f);
+  bilinear_to_canvas(decoded.data(), w, h, canvas, out);
+  return true;
+}
+
+// Dispatch on magic bytes: JPEG (FF D8) or PNG (89 50 4E 47).
+bool decode_image_to_canvas(const char *path, int canvas, uint8_t *out) {
+  unsigned char magic[4] = {0};
+  FILE *f = fopen(path, "rb");
+  if (!f) return false;
+  size_t got = fread(magic, 1, 4, f);
+  fclose(f);
+  if (got >= 2 && magic[0] == 0xFF && magic[1] == 0xD8)
+    return decode_jpeg_to_canvas(path, canvas, out);
+  if (got >= 4 && magic[0] == 0x89 && magic[1] == 'P' && magic[2] == 'N' &&
+      magic[3] == 'G')
+    return decode_png_to_canvas(path, canvas, out);
+  return false;
 }
 
 // ------------------------------------------------------------- loader core
@@ -152,6 +216,7 @@ struct Loader {
   uint64_t seed;
   int shard_id, num_shards;
   bool drop_last;
+  bool shuffle;
 
   // Epoch state
   std::vector<uint32_t> order;
@@ -188,11 +253,13 @@ struct Loader {
     size_t n = paths.size();
     std::vector<uint32_t> full(n);
     for (size_t i = 0; i < n; ++i) full[i] = (uint32_t)i;
-    uint64_t s = seed * 100003ULL + (uint64_t)epoch + 0x243f6a8885a308d3ULL;
-    for (size_t i = n; i > 1; --i) {
-      size_t j = splitmix64(s) % i;
-      std::swap(full[i - 1], full[j]);
-    }
+    if (shuffle) {
+      uint64_t s = seed * 100003ULL + (uint64_t)epoch + 0x243f6a8885a308d3ULL;
+      for (size_t i = n; i > 1; --i) {
+        size_t j = splitmix64(s) % i;
+        std::swap(full[i - 1], full[j]);
+      }
+    }  // !shuffle keeps dataset order (eval epochs)
     // Truncate the GLOBAL permutation to a multiple of num_shards*batch
     // before striding so every shard gets the same batch count (matches
     // Python _epoch_indices; unequal counts would desync multi-host SPMD).
@@ -240,7 +307,7 @@ struct Loader {
       for (size_t k = 0; k < count; ++k) {
         uint32_t idx = order[start + k];
         uint8_t *dst = b.imgs.data() + k * img_bytes;
-        if (!decode_jpeg_to_canvas(paths[idx].c_str(), canvas, dst)) {
+        if (!decode_image_to_canvas(paths[idx].c_str(), canvas, dst)) {
           memset(dst, 0, img_bytes);
           failed.fetch_add(1);
         }
@@ -285,7 +352,7 @@ extern "C" {
 void *csmae_loader_create(const char **paths, const int32_t *labels, int64_t n,
                           int batch, int canvas, int channels, int threads,
                           int capacity, uint64_t seed, int shard_id,
-                          int num_shards, int drop_last) {
+                          int num_shards, int drop_last, int shuffle) {
   auto *l = new Loader();
   l->paths.reserve(n);
   l->labels.assign(labels, labels + n);
@@ -299,6 +366,7 @@ void *csmae_loader_create(const char **paths, const int32_t *labels, int64_t n,
   l->shard_id = shard_id;
   l->num_shards = num_shards > 0 ? num_shards : 1;
   l->drop_last = drop_last != 0;
+  l->shuffle = shuffle != 0;
   return l;
 }
 
@@ -321,8 +389,9 @@ int64_t csmae_loader_failed_count(void *handle) {
 void csmae_loader_destroy(void *handle) { delete static_cast<Loader *>(handle); }
 
 // Standalone single-image decode (used for parity tests / viz).
+// Name kept for ABI compatibility; dispatches JPEG or PNG by magic bytes.
 int csmae_decode_jpeg(const char *path, int canvas, uint8_t *out) {
-  return decode_jpeg_to_canvas(path, canvas, out) ? 1 : 0;
+  return decode_image_to_canvas(path, canvas, out) ? 1 : 0;
 }
 
 }  // extern "C"

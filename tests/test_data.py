@@ -156,3 +156,49 @@ class TestNative:
         # Covers all labels across epoch
         all_labels = sorted(np.concatenate([b[1] for b in batches]).tolist())
         assert len(all_labels) == 12
+
+    def test_native_png_decode_matches_pil(self, tmp_path):
+        # PNG path (round 2): lossless format => decode must match PIL up to
+        # resample differences only.
+        from cross_scale_mae_tpu.data.native import decode_jpeg, get_library
+
+        if get_library() is None:
+            pytest.skip("native loader not built")
+        from PIL import Image
+
+        rng = np.random.default_rng(7)
+        arr = rng.integers(0, 256, (48, 48, 3), np.uint8)
+        p = tmp_path / "img.png"
+        Image.fromarray(arr).save(p)
+        # Lossless format + canvas == native size => bit-exact decode.
+        out = decode_jpeg(str(p), 48)  # dispatches on magic bytes
+        assert out is not None
+        np.testing.assert_array_equal(out, arr)
+        # Downscale sanity (pointwise bilinear vs PIL's area filter differ
+        # on noise; just require plausible content).
+        small = decode_jpeg(str(p), 32)
+        assert small.shape == (32, 32, 3) and small.std() > 20
+        # gray robustness: L-mode PNG promotes to RGB
+        gp = tmp_path / "gray.png"
+        Image.fromarray(arr[..., 0]).save(gp)
+        g = decode_jpeg(str(gp), 16)
+        assert g is not None and (g[..., 0] == g[..., 1]).all()
+
+    def test_native_loader_eval_sequential(self, jpeg_dir):
+        # Round 2: the native path also serves unshuffled eval epochs
+        # (drop_last=False, dataset order preserved).
+        from cross_scale_mae_tpu.data.native import get_library
+
+        if get_library() is None:
+            pytest.skip("native loader not built")
+        d, csv_path = jpeg_dir
+        ds = FmowRgbDataset(str(csv_path), canvas_size=32)
+        dl = DataLoader(ds, 5, shuffle=False, drop_last=False, num_threads=2)
+        assert dl._native is not None, "native path should engage for eval"
+        batches = list(dl.epoch(0))
+        assert [len(b[1]) for b in batches] == [5, 5, 2]  # ragged tail kept
+        got = np.concatenate([b[1] for b in batches])
+        np.testing.assert_array_equal(got, ds.labels)  # dataset order
+        # pixel parity with the Python fallback path (same decode backend
+        # not required; just confirm non-trivial content per image)
+        assert all(np.any(b[0] > 0) for b in batches)
