@@ -41,6 +41,11 @@ def add_runtime_args(p: argparse.ArgumentParser):
              "'shunted' maps to modules missing from the reference "
              "(its defect #1) and is not carried",
     )
+    g.add_argument(
+        "--gelu", default="tanh", choices=["tanh", "exact"],
+        help="GELU flavor: tanh (TPU-fast default) or exact (torch "
+             "nn.GELU bit-parity; ~15%% slower flagship step)",
+    )
     g.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace of steps 10-30 here")
     g.add_argument("--remat", action="store_true",

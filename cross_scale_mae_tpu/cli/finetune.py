@@ -213,7 +213,7 @@ def main(args) -> dict:
         args.model, input_size=args.input_size, patch_size=args.patch_size,
         num_classes=num_classes, global_pool=args.global_pool,
         drop_path_rate=args.drop_path, compute_dtype=args.compute_dtype,
-        attention_impl=args.attention_impl, remat=args.remat,
+        attention_impl=args.attention_impl, remat=args.remat, gelu=args.gelu,
         input_channels=train_ds.in_c, scan_blocks=not args.unroll_blocks,
         **overrides,
     )

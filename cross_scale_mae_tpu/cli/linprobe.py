@@ -104,6 +104,7 @@ def main(args) -> dict:
         num_classes=num_classes, global_pool=args.global_pool,
         use_bn_head=True,  # frozen-affine BN head (main_linprobe.py:517-520)
         compute_dtype=args.compute_dtype, attention_impl=args.attention_impl,
+        gelu=args.gelu,
         input_channels=train_ds.in_c, scan_blocks=not args.unroll_blocks,
         **overrides,
     )

@@ -128,6 +128,7 @@ def main(args) -> dict:
         compute_dtype=args.compute_dtype,
         attention_impl=args.attention_impl,
         remat=args.remat,
+        gelu=args.gelu,
         scan_blocks=not args.unroll_blocks,
     )
     tcfg = TrainConfig(

@@ -109,6 +109,10 @@ class MAEConfig:
                                       # | orthoformer | nystrom | local
                                       # | fourier_mix
     remat: bool = False               # jax.checkpoint each block
+    # GELU flavor: "tanh" (TPU-fast, bf16) or "exact" (torch nn.GELU /
+    # timm-Block parity — fp32 erfc, ~15% of the flagship step; see
+    # layers.mlp). Golden torch-parity tests force "exact".
+    gelu: str = "tanh"
     # Flat (N*L, D) scan carry: avoids sublane padding of the tiny
     # sequence dim (see layers.run_blocks_flat).
     flat_blocks: bool = False
@@ -222,6 +226,7 @@ class ViTClassifierConfig:
     param_dtype: str = "float32"
     attention_impl: str = "xla"
     remat: bool = False
+    gelu: str = "tanh"        # "tanh" | "exact" (see MAEConfig.gelu)
     scan_blocks: bool = True  # False = unrolled layer loop (see layers.run_blocks)
 
     @property

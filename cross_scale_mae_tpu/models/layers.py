@@ -198,20 +198,29 @@ def attention(p: Params, x: jnp.ndarray, num_heads: int, impl: str = "xla") -> j
     return linear(p["proj"], out)
 
 
-def mlp(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    return linear(p["fc2"], jax.nn.gelu(linear(p["fc1"], x), approximate=False))
+def mlp(p: Params, x: jnp.ndarray, gelu: str = "tanh") -> jnp.ndarray:
+    """MLP with GELU. ``gelu='tanh'`` (default) is the TPU-fast approximation
+    computed in bf16; ``'exact'`` matches torch nn.GELU (timm Block / the
+    reference) bit-for-bit but costs ~15% of the flagship step: XLA
+    evaluates erfc in fp32 over the full (N, L, 4D) activation and
+    bit-packs a sign predicate for the backward (profiled round 2,
+    130.8 -> 112.2 ms/step). Golden-parity tests force 'exact'."""
+    return linear(
+        p["fc2"],
+        jax.nn.gelu(linear(p["fc1"], x), approximate=(gelu != "exact")),
+    )
 
 
 def block(p: Params, x: jnp.ndarray, num_heads: int, impl: str = "xla",
-          norm_style: str = "pre") -> jnp.ndarray:
+          norm_style: str = "pre", gelu: str = "tanh") -> jnp.ndarray:
     """Transformer block. 'pre' = timm Block (x + f(ln(x))); 'post' mirrors the
     xFormers residual_norm_style='post' option (MAE_ViT_Baseline.py:33)."""
     if norm_style == "pre":
         x = x + attention(p["attn"], layer_norm(p["norm1"], x), num_heads, impl)
-        x = x + mlp(p["mlp"], layer_norm(p["norm2"], x))
+        x = x + mlp(p["mlp"], layer_norm(p["norm2"], x), gelu)
     else:
         x = layer_norm(p["norm1"], x + attention(p["attn"], x, num_heads, impl))
-        x = layer_norm(p["norm2"], x + mlp(p["mlp"], x))
+        x = layer_norm(p["norm2"], x + mlp(p["mlp"], x, gelu))
     return x
 
 
@@ -223,6 +232,7 @@ def run_blocks(
     norm_style: str = "pre",
     remat: bool = False,
     scan: bool = True,
+    gelu: str = "tanh",
 ) -> jnp.ndarray:
     """Apply a stack of blocks (leading axis = layer).
 
@@ -236,14 +246,15 @@ def run_blocks(
     """
     if not scan:
         depth = jax.tree.leaves(stacked)[0].shape[0]
-        blk = jax.checkpoint(block, static_argnums=(2, 3, 4)) if remat else block
+        blk = (jax.checkpoint(block, static_argnums=(2, 3, 4, 5))
+               if remat else block)
         for i in range(depth):
             layer = jax.tree.map(lambda a: a[i], stacked)
-            x = blk(layer, x, num_heads, impl, norm_style)
+            x = blk(layer, x, num_heads, impl, norm_style, gelu)
         return x
 
     def body(carry, layer_params):
-        out = block(layer_params, carry, num_heads, impl, norm_style)
+        out = block(layer_params, carry, num_heads, impl, norm_style, gelu)
         return out, None
 
     if remat:
@@ -280,6 +291,7 @@ def run_blocks_flat(
     impl: str = "xla",
     norm_style: str = "pre",
     remat: bool = False,
+    gelu: str = "tanh",
 ) -> jnp.ndarray:
     """Scanned stack with a FLAT (N*L, D) carry.
 
@@ -296,13 +308,13 @@ def run_blocks_flat(
             carry = carry + _attention_flat(
                 p["attn"], layer_norm(p["norm1"], carry), n, l, num_heads, impl
             )
-            carry = carry + mlp(p["mlp"], layer_norm(p["norm2"], carry))
+            carry = carry + mlp(p["mlp"], layer_norm(p["norm2"], carry), gelu)
         else:
             carry = layer_norm(
                 p["norm1"],
                 carry + _attention_flat(p["attn"], carry, n, l, num_heads, impl),
             )
-            carry = layer_norm(p["norm2"], carry + mlp(p["mlp"], carry))
+            carry = layer_norm(p["norm2"], carry + mlp(p["mlp"], carry, gelu))
         return carry, None
 
     if remat:

@@ -74,6 +74,7 @@ def _drop_path_scan(
     rates: jnp.ndarray,
     rng: jax.Array,
     remat: bool,
+    gelu: str = "tanh",
 ) -> jnp.ndarray:
     """Scanned blocks with per-layer stochastic depth (timm linspace ramp)."""
     depth = rates.shape[0]
@@ -81,7 +82,7 @@ def _drop_path_scan(
 
     def body(carry, xs):
         p, rate, key = xs
-        out = layers.block(p, carry, num_heads, impl)
+        out = layers.block(p, carry, num_heads, impl, gelu=gelu)
         # Per-sample residual drop of the whole block output (timm DropPath
         # semantics; applied to the block delta, scaled by keep prob).
         keep = 1.0 - rate
@@ -119,12 +120,12 @@ def vit_forward_features(
         )
         x = _drop_path_scan(
             params["blocks"], x, cfg.num_heads, cfg.attention_impl, rates, rng,
-            cfg.remat,
+            cfg.remat, gelu=cfg.gelu,
         )
     else:
         x = layers.run_blocks(
             params["blocks"], x, cfg.num_heads, cfg.attention_impl,
-            remat=cfg.remat, scan=cfg.scan_blocks,
+            remat=cfg.remat, scan=cfg.scan_blocks, gelu=cfg.gelu,
         )
     if cfg.global_pool:
         feat = jnp.mean(x[:, 1:, :], axis=1)

@@ -328,18 +328,23 @@ def _mha3_kernel(qkv_ref, o_ref, *, num_heads: int, head_dim: int, scale: float)
     # a list + concatenate keeps every per-head tensor live simultaneously
     # and blows the 16 MB VMEM stack (measured: 22.2 MB for the decoder
     # backward). Per-head ref stores bound liveness to one head.
+    # MXU mode: operands stay bf16 (fp32 accumulate via
+    # preferred_element_type) — casting to fp32 first would force the ~4x
+    # slower fp32 MXU path for zero information gain (inputs ARE bf16).
+    # Softmax runs on the exact fp32 logits; probabilities are rounded to
+    # bf16 for the AV matmul (the standard TPU flash-attention recipe).
     x = qkv_ref[:]  # (G, L, 3D) value; all slicing below is on the value.
     d = num_heads * head_dim
     for g in range(num_heads):
         o = g * head_dim
-        q = x[:, :, o:o + head_dim].astype(jnp.float32)
-        k = x[:, :, d + o:d + o + head_dim].astype(jnp.float32)
-        v = x[:, :, 2 * d + o:2 * d + o + head_dim].astype(jnp.float32)
+        q = x[:, :, o:o + head_dim]
+        k = x[:, :, d + o:d + o + head_dim]
+        v = x[:, :, 2 * d + o:2 * d + o + head_dim]
         logits = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
-        p = _softmax_fp32(logits)
+        p = _softmax_fp32(logits).astype(x.dtype)
         out = jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -349,22 +354,25 @@ def _mha3_kernel(qkv_ref, o_ref, *, num_heads: int, head_dim: int, scale: float)
 
 def _mha3_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads: int,
                      head_dim: int, scale: float):
+    # bf16 MXU operands + fp32 accumulate throughout (see fwd kernel note);
+    # softmax/dS algebra stays fp32, matmul inputs are rounded to bf16.
     x = qkv_ref[:]          # (G, L, 3D)
     do_full = do_ref[:]     # (G, L, D)
     d = num_heads * head_dim
     for g in range(num_heads):
         o = g * head_dim
-        q = x[:, :, o:o + head_dim].astype(jnp.float32)
-        k = x[:, :, d + o:d + o + head_dim].astype(jnp.float32)
-        v = x[:, :, 2 * d + o:2 * d + o + head_dim].astype(jnp.float32)
-        do = do_full[:, :, o:o + head_dim].astype(jnp.float32)
+        q = x[:, :, o:o + head_dim]
+        k = x[:, :, d + o:d + o + head_dim]
+        v = x[:, :, 2 * d + o:2 * d + o + head_dim]
+        do = do_full[:, :, o:o + head_dim]
         logits = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
         p = _softmax_fp32(logits)
+        p_b = p.astype(x.dtype)
         dv = jax.lax.dot_general(
-            p, do, (((1,), (1,)), ((0,), (0,))),
+            p_b, do, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
@@ -372,7 +380,7 @@ def _mha3_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads: int,
             preferred_element_type=jnp.float32,
         )
         row = jnp.sum(dp * p, axis=-1, keepdims=True)
-        ds = p * (dp - row) * scale
+        ds = (p * (dp - row) * scale).astype(x.dtype)
         dq = jax.lax.dot_general(
             ds, k, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -395,6 +403,10 @@ def _group3_for(n: int, l: int, three_d: int, itemsize: int, bwd: bool) -> int:
     short L=17 blocks can take G=32 while the decoder backward stays at 8."""
     d = three_d // 3
     per_item = (three_d + d + (d if bwd else 0)) * itemsize * l
+    # Budget = 16 MB physical VMEM minus kernel stack + whatever operands
+    # XLA keeps VMEM-resident (S(1)) in the full program. 12 MB pushes the
+    # decoder backward to G=16, which fits standalone but OOMs scoped vmem
+    # by ~0.7 MB inside the full train step — hence 10 MB.
     group = 32
     while group > 1 and (n % group or 2 * group * per_item > 10 * 2 ** 20):
         group //= 2

@@ -116,6 +116,7 @@ def cfg():
     return get_mae_config(
         "mae_vit_tiny", input_size=S, patch_size=P, mask_ratio=0.0,
         compute_dtype="float32",
+        gelu="exact",  # torch nn.GELU parity (default is the tanh approx)
     ).replace(
         dim_model=D, encoder_num_layers=LAYERS, encoder_num_heads=HEADS,
         decoder_embed_dim=DD, decoder_num_layers=DLAYERS, decoder_num_heads=HEADS,
