@@ -8,7 +8,7 @@ all: native
 native: cross_scale_mae_tpu/data/native/libcsmae_loader.so
 
 cross_scale_mae_tpu/data/native/libcsmae_loader.so: cross_scale_mae_tpu/data/native/loader.cpp
-	g++ -O3 -march=native -shared -fPIC -std=c++17 -pthread $< -o $@ -ljpeg
+	g++ -O3 -march=native -shared -fPIC -std=c++17 -pthread $< -o $@ -ljpeg -lpng -ltiff
 
 test: native
 	python -m pytest tests/ -x -q

@@ -57,7 +57,9 @@ def _setup(scan_blocks=False, attention_impl="pallas_v3", batch_crop=False):
         # (kills scan residual-stacking copies; round 1, 1222 -> 1522) +
         # the v3 natural-layout Pallas attention (consumes the qkv matmul
         # output directly; kills the head fold/unfold HBM transposes;
-        # round 2, 1520 -> 1945 @ b128, 2004 @ b256).
+        # round 2, 1520 -> 1945 @ b128, 2004 @ b256) + tanh GELU (exact-erf
+        # GELU cost ~18.6 ms/step in fp32 erfc + sign-predicate bit-packing;
+        # round 2, 1978 -> ~2280; benchmarks/profile_step.py evidence).
         scan_blocks=scan_blocks, attention_impl=attention_impl,
         ms_per_sample_crop=not batch_crop,
     )

@@ -181,11 +181,13 @@ class _MultibandMixin:
         return img
 
     def _read_geotiff(self, path: str) -> np.ndarray:
-        """Multi-band GeoTIFF read: rasterio if present, else tifffile/PIL.
+        """Multi-band GeoTIFF read: rasterio if present, else tifffile, else
+        the native libtiff decoder (data/native), else PIL.
 
         The reference hard-requires rasterio (and crashes on its own
         ``rasterio.open`` NameError, util/datasets.py:412,546); here the
-        backend is pluggable and the error is explicit.
+        backend is pluggable, the native C++ path needs no optional deps,
+        and the error is explicit.
         """
         try:
             import rasterio  # type: ignore
@@ -201,6 +203,11 @@ class _MultibandMixin:
             return arr if arr.ndim == 3 else arr[..., None]
         except ImportError:
             pass
+        from cross_scale_mae_tpu.data import native
+
+        arr = native.read_tiff(path)
+        if arr is not None:
+            return arr
         from PIL import Image
 
         with Image.open(path) as im:

@@ -36,7 +36,7 @@ def build_library(force: bool = False) -> str | None:
             return None
         cmd = [
             "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-            "-pthread", _SRC, "-o", _SO, "-ljpeg", "-lpng",
+            "-pthread", _SRC, "-o", _SO, "-ljpeg", "-lpng", "-ltiff",
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=180)
@@ -76,6 +76,20 @@ def get_library():
     lib.csmae_decode_jpeg.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)
     ]
+    lib.csmae_loader_set_bands.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+    ]
+    lib.csmae_tiff_info.restype = ctypes.c_int
+    lib.csmae_tiff_info.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32)
+    ]
+    lib.csmae_tiff_read_f32.restype = ctypes.c_int
+    lib.csmae_tiff_read_f32.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float)
+    ]
     _lib = lib
     return lib
 
@@ -87,6 +101,26 @@ def decode_jpeg(path: str, canvas: int) -> Optional[np.ndarray]:
     out = np.empty((canvas, canvas, 3), np.uint8)
     ok = lib.csmae_decode_jpeg(
         path.encode(), canvas, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    )
+    return out if ok else None
+
+
+def read_tiff(path: str) -> Optional[np.ndarray]:
+    """Raw multi-band TIFF read -> float32 HWC (the rasterio.read()
+    equivalent; any uint/int 8/16/32 or float sample type, chunky or planar
+    striped layout). Returns None when the library or codec is unavailable."""
+    lib = get_library()
+    if lib is None:
+        return None
+    whc = np.zeros((3,), np.int32)
+    if not lib.csmae_tiff_info(
+        path.encode(), whc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    ):
+        return None
+    w, h, c = int(whc[0]), int(whc[1]), int(whc[2])
+    out = np.empty((h, w, c), np.float32)
+    ok = lib.csmae_tiff_read_f32(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     )
     return out if ok else None
 
@@ -103,29 +137,60 @@ class NativeJpegLoader:
 
     @classmethod
     def maybe_create(cls, dataset, batch_size: int, loader) -> Optional["NativeJpegLoader"]:
-        # JPEG/PNG-backed RGB datasets, shuffled (train) or sequential
-        # (eval); everything else falls back to the Python path.
-        if dataset.in_c != 3 or len(dataset) == 0:
+        # JPEG/PNG-backed RGB datasets and multi-band TIFF datasets
+        # (Sentinel/EuroSAT — detected by the _read_geotiff hook), shuffled
+        # (train) or sequential (eval); everything else falls back to the
+        # Python path.
+        if len(dataset) == 0:
             return None
-        exts = (".jpg", ".jpeg", ".png")
-        if not all(p.lower().endswith(exts) for p in dataset.paths[:64]):
-            return None
+        tiff_exts = (".tif", ".tiff")
+        multiband = (
+            hasattr(dataset, "_read_geotiff")
+            and all(p.lower().endswith(tiff_exts) for p in dataset.paths[:64])
+        )
+        if not multiband:
+            if dataset.in_c != 3:
+                return None
+            exts = (".jpg", ".jpeg", ".png")
+            if not all(p.lower().endswith(exts) for p in dataset.paths[:64]):
+                return None
         lib = get_library()
         if lib is None:
             return None
         n = len(dataset)
+        channels = dataset.in_c
         c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in dataset.paths])
         labels = np.ascontiguousarray(dataset.labels, np.int32)
         handle = lib.csmae_loader_create(
             ctypes.cast(c_paths, ctypes.POINTER(ctypes.c_char_p)),
             labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            n, batch_size, dataset.canvas_size, 3,
+            n, batch_size, dataset.canvas_size, channels,
             loader.num_threads, 3, loader.seed, loader.shard_id,
             loader.num_shards, int(loader.drop_last), int(loader.shuffle),
         )
         if not handle:
             return None
-        obj = cls(lib, handle, batch_size, dataset.canvas_size, 3)
+        if multiband:
+            # mask -> SentinelNormalize -> drop, same order as the Python
+            # pipeline (data/datasets.py _load_raw).
+            mean = np.ascontiguousarray(dataset.mean, np.float32)
+            std = np.ascontiguousarray(dataset.std, np.float32)
+            masked = np.ascontiguousarray(
+                list(dataset.masked_bands or ()), np.int32
+            )
+            dropped = np.ascontiguousarray(
+                list(dataset.dropped_bands or ()), np.int32
+            )
+            lib.csmae_loader_set_bands(
+                handle, len(mean), 1,
+                mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                std.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                masked.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(masked),
+                dropped.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(dropped),
+            )
+        obj = cls(lib, handle, batch_size, dataset.canvas_size, channels)
         obj._keepalive = c_paths  # paths are copied in C++, but be safe
         obj._shuffle = loader.shuffle
         return obj

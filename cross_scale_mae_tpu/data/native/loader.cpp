@@ -32,6 +32,7 @@
 #include <csetjmp>
 #include <jpeglib.h>
 #include <png.h>
+#include <tiffio.h>
 
 namespace {
 
@@ -54,6 +55,41 @@ struct JpegErrorMgr {
 void jpeg_error_exit(j_common_ptr cinfo) {
   auto *err = reinterpret_cast<JpegErrorMgr *>(cinfo->err);
   longjmp(err->setjmp_buffer, 1);
+}
+
+// Bilinear resample a C-channel HWC uint8 buffer to (canvas, canvas, C).
+void bilinear_to_canvas_c(const uint8_t *src, int w, int h, int channels,
+                          int canvas, uint8_t *out) {
+  if (w == canvas && h == canvas) {
+    memcpy(out, src, (size_t)canvas * canvas * channels);
+    return;
+  }
+  const float sx = (float)w / canvas, sy = (float)h / canvas;
+  for (int y = 0; y < canvas; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = (int)fy;
+    if (fy < 0) { fy = 0; y0 = 0; }
+    int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
+    float wy = fy - y0;
+    for (int x = 0; x < canvas; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      int x0 = (int)fx;
+      if (fx < 0) { fx = 0; x0 = 0; }
+      int x1 = x0 + 1 < w ? x0 + 1 : w - 1;
+      float wx = fx - x0;
+      const uint8_t *p00 = &src[((size_t)y0 * w + x0) * channels];
+      const uint8_t *p01 = &src[((size_t)y0 * w + x1) * channels];
+      const uint8_t *p10 = &src[((size_t)y1 * w + x0) * channels];
+      const uint8_t *p11 = &src[((size_t)y1 * w + x1) * channels];
+      uint8_t *dst = &out[((size_t)y * canvas + x) * channels];
+      for (int c = 0; c < channels; ++c) {
+        float v0 = p00[c] + (p01[c] - p00[c]) * wx;
+        float v1 = p10[c] + (p11[c] - p10[c]) * wx;
+        float v = v0 + (v1 - v0) * wy;
+        dst[c] = (uint8_t)(v + 0.5f);
+      }
+    }
+  }
 }
 
 // Bilinear resample an RGB (w, h) buffer to (canvas, canvas).
@@ -184,19 +220,152 @@ bool decode_png_to_canvas(const char *path, int canvas, uint8_t *out) {
   return true;
 }
 
-// Dispatch on magic bytes: JPEG (FF D8) or PNG (89 50 4E 47).
-bool decode_image_to_canvas(const char *path, int canvas, uint8_t *out) {
+// ------------------------------------------------------------ TIFF decode
+
+// Multi-band GeoTIFF support for the Sentinel/EuroSAT datasets (reference:
+// util/datasets.py:412,546 reads 13-band uint16 tiles via rasterio). libtiff
+// replaces rasterio/tifffile here; warnings are silenced once at load time.
+struct TiffSilencer {
+  TiffSilencer() {
+    TIFFSetWarningHandler(nullptr);
+    TIFFSetErrorHandler(nullptr);
+  }
+};
+static TiffSilencer tiff_silencer;
+
+// Read a TIFF into a float32 HWC buffer (any of uint8/16/32, int8/16/32,
+// float32/64 samples; chunky or planar). Returns false on failure.
+bool decode_tiff_raw(const char *path, std::vector<float> &out, int &w,
+                     int &h, int &c) {
+  TIFF *tif = TIFFOpen(path, "r");
+  if (!tif) return false;
+  uint32_t width = 0, height = 0;
+  uint16_t spp = 1, bps = 8, fmt = SAMPLEFORMAT_UINT, planar = PLANARCONFIG_CONTIG;
+  TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &width);
+  TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &height);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_SAMPLESPERPIXEL, &spp);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_BITSPERSAMPLE, &bps);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_SAMPLEFORMAT, &fmt);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_PLANARCONFIG, &planar);
+  if (!width || !height || TIFFIsTiled(tif) ||
+      (bps != 8 && bps != 16 && bps != 32) ||
+      (fmt != SAMPLEFORMAT_UINT && fmt != SAMPLEFORMAT_INT &&
+       fmt != SAMPLEFORMAT_IEEEFP)) {
+    TIFFClose(tif);
+    return false;
+  }
+  w = (int)width;
+  h = (int)height;
+  c = (int)spp;
+  out.assign((size_t)w * h * c, 0.0f);
+  std::vector<uint8_t> row(TIFFScanlineSize(tif));
+  auto to_float = [&](const uint8_t *p, int i) -> float {
+    switch (bps) {
+      case 8:
+        return fmt == SAMPLEFORMAT_INT ? (float)((const int8_t *)p)[i]
+                                       : (float)p[i];
+      case 16:
+        return fmt == SAMPLEFORMAT_INT ? (float)((const int16_t *)p)[i]
+                                       : (float)((const uint16_t *)p)[i];
+      default:  // 32
+        if (fmt == SAMPLEFORMAT_IEEEFP) return ((const float *)p)[i];
+        return fmt == SAMPLEFORMAT_INT ? (float)((const int32_t *)p)[i]
+                                       : (float)((const uint32_t *)p)[i];
+    }
+  };
+  bool ok = true;
+  if (planar == PLANARCONFIG_CONTIG) {
+    for (int y = 0; y < h && ok; ++y) {
+      ok = TIFFReadScanline(tif, row.data(), y) >= 0;
+      for (int i = 0; ok && i < w * c; ++i)
+        out[(size_t)y * w * c + i] = to_float(row.data(), i);
+    }
+  } else {  // one plane per band
+    for (int s = 0; s < c && ok; ++s)
+      for (int y = 0; y < h && ok; ++y) {
+        ok = TIFFReadScanline(tif, row.data(), y, (uint16_t)s) >= 0;
+        for (int i = 0; ok && i < w; ++i)
+          out[((size_t)y * w + i) * c + s] = to_float(row.data(), i);
+      }
+  }
+  TIFFClose(tif);
+  return ok;
+}
+
+// Per-dataset band handling for multi-band TIFFs, mirroring the Python
+// pipeline exactly (data/datasets.py): mask bands on the RAW image ->
+// SentinelNormalize (2-sigma rescale to [0,255]) -> drop bands.
+struct BandSpec {
+  int raw_channels = 0;             // bands in the file
+  bool sentinel_norm = false;       // apply the 2-sigma rescale
+  std::vector<float> mean, stddev;  // per raw band
+  std::vector<uint8_t> masked;      // per raw band: replace with mean
+  std::vector<int> keep;            // raw band indices kept (after drops)
+};
+
+bool decode_tiff_to_canvas(const char *path, int canvas, int out_channels,
+                           const BandSpec &spec, uint8_t *out) {
+  std::vector<float> raw;
+  int w = 0, h = 0, c = 0;
+  if (!decode_tiff_raw(path, raw, w, h, c)) return false;
+  if (spec.raw_channels && c != spec.raw_channels) return false;
+  const std::vector<int> *keep = &spec.keep;
+  std::vector<int> all;
+  if (keep->empty()) {
+    for (int i = 0; i < c; ++i) all.push_back(i);
+    keep = &all;
+  }
+  if ((int)keep->size() != out_channels) return false;
+  // mask -> normalize -> select, fused into the uint8 conversion.
+  std::vector<uint8_t> u8((size_t)w * h * out_channels);
+  for (int k = 0; k < out_channels; ++k) {
+    int b = (*keep)[k];
+    if (b >= c) return false;
+    const bool is_masked = b < (int)spec.masked.size() && spec.masked[b];
+    float lo = 0.0f, inv = 1.0f;
+    if (spec.sentinel_norm) {
+      float m = b < (int)spec.mean.size() ? spec.mean[b] : 0.0f;
+      float s = b < (int)spec.stddev.size() ? spec.stddev[b] : 1.0f;
+      lo = m - 2.0f * s;
+      inv = 255.0f / (4.0f * s);
+    }
+    const float mean_b = b < (int)spec.mean.size() ? spec.mean[b] : 0.0f;
+    for (size_t i = 0; i < (size_t)w * h; ++i) {
+      float v = is_masked ? mean_b : raw[i * c + b];
+      v = (v - lo) * inv;
+      v = v < 0.0f ? 0.0f : (v > 255.0f ? 255.0f : v);
+      u8[i * out_channels + k] = (uint8_t)v;
+    }
+  }
+  bilinear_to_canvas_c(u8.data(), w, h, out_channels, canvas, out);
+  return true;
+}
+
+// Dispatch on magic bytes: JPEG (FF D8), PNG (89 50 4E 47), or TIFF
+// (II*\0 / MM\0*, multi-band via the BandSpec).
+bool decode_image_to_canvas_spec(const char *path, int canvas, int channels,
+                                 const BandSpec &spec, uint8_t *out) {
   unsigned char magic[4] = {0};
   FILE *f = fopen(path, "rb");
   if (!f) return false;
   size_t got = fread(magic, 1, 4, f);
   fclose(f);
+  if (got >= 4 &&
+      ((magic[0] == 'I' && magic[1] == 'I' && magic[2] == 42 && magic[3] == 0) ||
+       (magic[0] == 'M' && magic[1] == 'M' && magic[2] == 0 && magic[3] == 42)))
+    return decode_tiff_to_canvas(path, canvas, channels, spec, out);
+  if (channels != 3) return false;
   if (got >= 2 && magic[0] == 0xFF && magic[1] == 0xD8)
     return decode_jpeg_to_canvas(path, canvas, out);
   if (got >= 4 && magic[0] == 0x89 && magic[1] == 'P' && magic[2] == 'N' &&
       magic[3] == 'G')
     return decode_png_to_canvas(path, canvas, out);
   return false;
+}
+
+bool decode_image_to_canvas(const char *path, int canvas, uint8_t *out) {
+  static const BandSpec rgb_spec;
+  return decode_image_to_canvas_spec(path, canvas, 3, rgb_spec, out);
 }
 
 // ------------------------------------------------------------- loader core
@@ -217,6 +386,7 @@ struct Loader {
   int shard_id, num_shards;
   bool drop_last;
   bool shuffle;
+  BandSpec bands;  // multi-band TIFF handling (empty = plain RGB)
 
   // Epoch state
   std::vector<uint32_t> order;
@@ -307,7 +477,8 @@ struct Loader {
       for (size_t k = 0; k < count; ++k) {
         uint32_t idx = order[start + k];
         uint8_t *dst = b.imgs.data() + k * img_bytes;
-        if (!decode_image_to_canvas(paths[idx].c_str(), canvas, dst)) {
+        if (!decode_image_to_canvas_spec(paths[idx].c_str(), canvas, channels,
+                                         bands, dst)) {
           memset(dst, 0, img_bytes);
           failed.fetch_add(1);
         }
@@ -388,10 +559,57 @@ int64_t csmae_loader_failed_count(void *handle) {
 
 void csmae_loader_destroy(void *handle) { delete static_cast<Loader *>(handle); }
 
+// Configure multi-band TIFF handling (Sentinel/EuroSAT). Must be called
+// before start_epoch. mean/stddev are per RAW band; masked/dropped are raw
+// band indices; `channels` passed at create time must equal
+// raw_channels - n_dropped.
+void csmae_loader_set_bands(void *handle, int raw_channels,
+                            int use_sentinel_norm, const float *mean,
+                            const float *stddev, const int32_t *masked,
+                            int n_masked, const int32_t *dropped,
+                            int n_dropped) {
+  auto *l = static_cast<Loader *>(handle);
+  BandSpec &b = l->bands;
+  b.raw_channels = raw_channels;
+  b.sentinel_norm = use_sentinel_norm != 0;
+  b.mean.assign(mean, mean + raw_channels);
+  b.stddev.assign(stddev, stddev + raw_channels);
+  b.masked.assign(raw_channels, 0);
+  for (int i = 0; i < n_masked; ++i)
+    if (masked[i] >= 0 && masked[i] < raw_channels) b.masked[masked[i]] = 1;
+  std::vector<uint8_t> drop(raw_channels, 0);
+  for (int i = 0; i < n_dropped; ++i)
+    if (dropped[i] >= 0 && dropped[i] < raw_channels) drop[dropped[i]] = 1;
+  b.keep.clear();
+  for (int i = 0; i < raw_channels; ++i)
+    if (!drop[i]) b.keep.push_back(i);
+}
+
 // Standalone single-image decode (used for parity tests / viz).
 // Name kept for ABI compatibility; dispatches JPEG or PNG by magic bytes.
 int csmae_decode_jpeg(const char *path, int canvas, uint8_t *out) {
   return decode_image_to_canvas(path, canvas, out) ? 1 : 0;
+}
+
+// Raw TIFF access for the Python _read_geotiff backend (rasterio/tifffile
+// are optional deps; this is the always-available path). Two-call pattern:
+// info fills {w, h, c}; read fills a float32 HWC buffer of that size.
+int csmae_tiff_info(const char *path, int32_t *whc) {
+  std::vector<float> buf;
+  int w, h, c;
+  if (!decode_tiff_raw(path, buf, w, h, c)) return 0;
+  whc[0] = w;
+  whc[1] = h;
+  whc[2] = c;
+  return 1;
+}
+
+int csmae_tiff_read_f32(const char *path, float *out) {
+  std::vector<float> buf;
+  int w, h, c;
+  if (!decode_tiff_raw(path, buf, w, h, c)) return 0;
+  memcpy(out, buf.data(), buf.size() * sizeof(float));
+  return 1;
 }
 
 }  // extern "C"
