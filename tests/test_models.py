@@ -329,6 +329,7 @@ class TestAttentionImpls:
             atol=1e-5,
         )
 
+    @pytest.mark.slow
     def test_variant_models_train(self):
         # Full MAE forward + grad with each parameterized variant (linformer
         # carries learned E/F per block).

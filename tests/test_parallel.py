@@ -170,3 +170,48 @@ def test_tensor_parallel_step_runs(tiny_setup):
     # TP sharding is preserved through the update.
     k = new_state.params["encoder_blocks"]["mlp"]["fc1"]["kernel"]
     assert not k.sharding.is_fully_replicated
+
+
+@pytest.mark.slow
+def test_checkpoint_restores_across_mesh_change(tiny_setup, tmp_path):
+    """Topology-change resume: a checkpoint written under a TP x DP mesh
+    restores (and trains on) a pure-DP mesh, and vice versa. The reference
+    cannot do this at all — DDP checkpoints are rank-agnostic only because
+    everything is replicated (util/misc.py:358-411); here optimizer/params
+    shardings genuinely differ between the two meshes (ZeRO-1 shards
+    moments over 'data')."""
+    from cross_scale_mae_tpu.utils.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    cfg, tcfg, sched, state = tiny_setup
+    imgs = jnp.asarray(
+        np.random.default_rng(0).normal(size=(16, 16, 16, 3)).astype(np.float32)
+    )
+    step = make_pretrain_step(cfg, tcfg, sched, donate=False)
+
+    # Train 2 steps on a {'data': 4, 'model': 2} mesh with ZeRO-1 sharding.
+    mesh_a = make_mesh(model_parallel=2)
+    state_a = shard_train_state(mesh_a, state, tensor_parallel=True, zero1=True)
+    batch_a = jax.device_put(imgs, batch_sharding(mesh_a))
+    for _ in range(2):
+        state_a, m_a = step(state_a, batch_a, jax.random.key(0))
+    save_checkpoint(str(tmp_path / "ckpt"), 2, state_a)
+
+    # Restore into a fresh {'data': 8} pure-DP replicated layout.
+    mesh_b = make_mesh(model_parallel=1)
+    template = shard_train_state(mesh_b, state, tensor_parallel=False)
+    restored, _meta = restore_checkpoint(str(tmp_path / "ckpt"), template)
+    assert int(restored.step) == 2
+    # Values equal regardless of layout.
+    np.testing.assert_allclose(
+        np.asarray(restored.params["patch_embed"]["kernel"]),
+        np.asarray(state_a.params["patch_embed"]["kernel"]),
+        atol=0,
+    )
+    # New layout is really in effect and training continues.
+    assert restored.params["patch_embed"]["kernel"].sharding.is_fully_replicated
+    batch_b = jax.device_put(imgs, batch_sharding(mesh_b))
+    cont, m_b = step(restored, batch_b, jax.random.key(1))
+    assert np.isfinite(float(m_b["loss"]))
