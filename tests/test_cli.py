@@ -139,3 +139,49 @@ class TestEndToEnd:
         assert resumed["steps"] == part["steps"]
         # max_acc carried over (can only stay or improve)
         assert resumed["max_acc"] >= part["max_acc"] - 1e-6
+
+
+@pytest.mark.slow
+class TestEmbed:
+    def test_embed_from_pretrain_ckpt(self, tmp_path):
+        """Serving path: extract features for a dataset from a pretrain
+        checkpoint — stable across runs, ragged tail handled, meta written."""
+        import numpy as np
+
+        from cross_scale_mae_tpu.cli import embed, pretrain
+
+        out = str(tmp_path / "pt")
+        pretrain.main(pretrain.get_args_parser().parse_args([
+            "--model", "mae_vit_tiny", "--dataset_type", "synthetic",
+            "--synthetic_len", "32", "--input_size", "16", "--patch_size", "8",
+            "--batch_size", "16", "--epochs", "1", "--warmup_epochs", "0",
+            "--ckpt_interval", "1", "--output_dir", out,
+            "--compute_dtype", "float32", "--log_interval", "2",
+        ]))
+        run_dir = next(p for p in (tmp_path / "pt").iterdir() if p.is_dir())
+        ckpt = str(run_dir / "checkpoints")
+
+        def run(dest, pool):
+            args = embed.get_args_parser().parse_args([
+                "--ckpt", ckpt, "--dataset_type", "synthetic",
+                "--synthetic_len", "21",  # ragged vs batch 16
+                "--batch_size", "16", "--pool", pool,
+                "--output_dir", str(tmp_path / dest),
+            ])
+            return embed.main(args)
+
+        res = run("e1", "cls")
+        assert res["count"] == 21
+        feats = np.load(tmp_path / "e1" / "features.npy")
+        labels = np.load(tmp_path / "e1" / "labels.npy")
+        assert feats.shape == (21, 128) and np.isfinite(feats).all()
+        assert labels.shape == (21,)
+        # Deterministic: same checkpoint + data => identical features.
+        run("e2", "cls")
+        np.testing.assert_array_equal(
+            feats, np.load(tmp_path / "e2" / "features.npy")
+        )
+        # mean pooling differs from cls but shares the shape
+        run("e3", "mean")
+        f3 = np.load(tmp_path / "e3" / "features.npy")
+        assert f3.shape == feats.shape and not np.array_equal(f3, feats)
