@@ -29,7 +29,6 @@ import jax.numpy as jnp
 from cross_scale_mae_tpu.cli.common import (
     add_data_args,
     add_runtime_args,
-    make_loader,
     setup_runtime,
 )
 from cross_scale_mae_tpu.data import build_dataset
@@ -73,8 +72,18 @@ def main(args) -> dict:
             f"dataset has {ds.in_c} channels but the checkpointed model "
             f"expects {cfg.input_channels}"
         )
-    loader = make_loader(args, ds, args.batch_size, is_train=False,
-                         seed=args.seed)
+    # Every host featurizes the FULL dataset in dataset order (num_shards=1):
+    # only process 0 writes, so a per-process strided shard would silently
+    # save half the features on a multi-host pod. Embedding extraction is
+    # loader-bound anyway; the redundant device work is the price of a
+    # complete, ordered features.npy on every topology.
+    from cross_scale_mae_tpu.data import DataLoader
+
+    loader = DataLoader(
+        ds, args.batch_size, shuffle=False, drop_last=False,
+        num_threads=max(2, args.num_workers), seed=args.seed,
+        shard_id=0, num_shards=1,
+    )
 
     preprocess = make_eval_preprocess(
         ds.mean, ds.std, cfg.input_size, normalize=ds.normalize_on_device,

@@ -162,6 +162,11 @@ class _MultibandMixin:
 
     masked_bands: Optional[Sequence[int]] = None
     dropped_bands: Optional[Sequence[int]] = None
+    # Explicit opt-in for the native loader's in-worker mask -> 2-sigma
+    # SentinelNormalize -> drop pipeline. A TIFF-backed dataset WITHOUT this
+    # flag stays on the Python path (native engagement must never change
+    # normalization semantics implicitly).
+    sentinel_norm = True
 
     def _mask_bands(self, img: np.ndarray) -> np.ndarray:
         """Masked bands are replaced with the band mean on the RAW image,

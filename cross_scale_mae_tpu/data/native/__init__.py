@@ -36,7 +36,8 @@ def build_library(force: bool = False) -> str | None:
             return None
         cmd = [
             "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-            "-pthread", _SRC, "-o", _SO, "-ljpeg", "-lpng", "-ltiff",
+            "-pthread", "-ffp-contract=off",  # keep float op order == numpy
+            _SRC, "-o", _SO, "-ljpeg", "-lpng", "-ltiff",
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=180)
@@ -88,7 +89,7 @@ def get_library():
     ]
     lib.csmae_tiff_read_f32.restype = ctypes.c_int
     lib.csmae_tiff_read_f32.argtypes = [
-        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float)
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64
     ]
     _lib = lib
     return lib
@@ -107,8 +108,9 @@ def decode_jpeg(path: str, canvas: int) -> Optional[np.ndarray]:
 
 def read_tiff(path: str) -> Optional[np.ndarray]:
     """Raw multi-band TIFF read -> float32 HWC (the rasterio.read()
-    equivalent; any uint/int 8/16/32 or float sample type, chunky or planar
-    striped layout). Returns None when the library or codec is unavailable."""
+    equivalent; any uint/int 8/16/32 or float sample type, chunky or planar,
+    striped or tiled, classic or BigTIFF). Returns None when the library or
+    codec is unavailable."""
     lib = get_library()
     if lib is None:
         return None
@@ -120,7 +122,8 @@ def read_tiff(path: str) -> Optional[np.ndarray]:
     w, h, c = int(whc[0]), int(whc[1]), int(whc[2])
     out = np.empty((h, w, c), np.float32)
     ok = lib.csmae_tiff_read_f32(
-        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.size,  # reject a file whose size changed since the info call
     )
     return out if ok else None
 
@@ -138,14 +141,15 @@ class NativeJpegLoader:
     @classmethod
     def maybe_create(cls, dataset, batch_size: int, loader) -> Optional["NativeJpegLoader"]:
         # JPEG/PNG-backed RGB datasets and multi-band TIFF datasets
-        # (Sentinel/EuroSAT — detected by the _read_geotiff hook), shuffled
+        # (Sentinel/EuroSAT — opted in EXPLICITLY via the dataset's
+        # ``sentinel_norm = True`` attribute, not inferred), shuffled
         # (train) or sequential (eval); everything else falls back to the
         # Python path.
         if len(dataset) == 0:
             return None
         tiff_exts = (".tif", ".tiff")
         multiband = (
-            hasattr(dataset, "_read_geotiff")
+            getattr(dataset, "sentinel_norm", False)
             and all(p.lower().endswith(tiff_exts) for p in dataset.paths[:64])
         )
         if not multiband:
@@ -157,6 +161,14 @@ class NativeJpegLoader:
         lib = get_library()
         if lib is None:
             return None
+        if multiband:
+            # Probe-decode the first tile before claiming the dataset: an
+            # unsupported codec/compression or a band-count mismatch must
+            # fall back to the Python path (which may have rasterio), not
+            # silently zero-fill batches.
+            probe = read_tiff(dataset.paths[0])
+            if probe is None or probe.shape[-1] != len(dataset.mean):
+                return None
         n = len(dataset)
         channels = dataset.in_c
         c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in dataset.paths])
@@ -197,6 +209,7 @@ class NativeJpegLoader:
 
     def epoch(self, epoch: int = 0) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         self._lib.csmae_loader_start_epoch(self._handle, epoch)
+        failed_before = self._lib.csmae_loader_failed_count(self._handle)
         while True:
             imgs = np.empty((self.batch, self.canvas, self.canvas, self.channels),
                             np.uint8)
@@ -207,8 +220,20 @@ class NativeJpegLoader:
                 labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             )
             if got == 0:
-                return
+                break
             yield imgs[:got], labels[:got]
+        failed = self._lib.csmae_loader_failed_count(self._handle) - failed_before
+        if failed:
+            # Failed decodes are zero-filled (torch DataLoader would crash
+            # the worker instead) — make that loud, never silent.
+            import warnings
+
+            warnings.warn(
+                f"native loader: {failed} image(s) failed to decode this "
+                f"epoch and were zero-filled; check the dataset for corrupt "
+                f"or unsupported files",
+                stacklevel=2,
+            )
 
     def __del__(self):
         try:

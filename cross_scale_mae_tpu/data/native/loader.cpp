@@ -92,38 +92,10 @@ void bilinear_to_canvas_c(const uint8_t *src, int w, int h, int channels,
   }
 }
 
-// Bilinear resample an RGB (w, h) buffer to (canvas, canvas).
+// RGB shim over the C-channel resampler (JPEG/PNG paths).
 void bilinear_to_canvas(const uint8_t *src, int w, int h, int canvas,
                         uint8_t *out) {
-  if (w == canvas && h == canvas) {
-    memcpy(out, src, (size_t)canvas * canvas * 3);
-    return;
-  }
-  const float sx = (float)w / canvas, sy = (float)h / canvas;
-  for (int y = 0; y < canvas; ++y) {
-    float fy = (y + 0.5f) * sy - 0.5f;
-    int y0 = (int)fy;
-    if (fy < 0) { fy = 0; y0 = 0; }
-    int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
-    float wy = fy - y0;
-    for (int x = 0; x < canvas; ++x) {
-      float fx = (x + 0.5f) * sx - 0.5f;
-      int x0 = (int)fx;
-      if (fx < 0) { fx = 0; x0 = 0; }
-      int x1 = x0 + 1 < w ? x0 + 1 : w - 1;
-      float wx = fx - x0;
-      const uint8_t *p00 = &src[((size_t)y0 * w + x0) * 3];
-      const uint8_t *p01 = &src[((size_t)y0 * w + x1) * 3];
-      const uint8_t *p10 = &src[((size_t)y1 * w + x0) * 3];
-      const uint8_t *p11 = &src[((size_t)y1 * w + x1) * 3];
-      uint8_t *dst = out + ((size_t)y * canvas + x) * 3;
-      for (int ch = 0; ch < 3; ++ch) {
-        float v = (1 - wy) * ((1 - wx) * p00[ch] + wx * p01[ch]) +
-                  wy * ((1 - wx) * p10[ch] + wx * p11[ch]);
-        dst[ch] = (uint8_t)(v + 0.5f);
-      }
-    }
-  }
+  bilinear_to_canvas_c(src, w, h, 3, canvas, out);
 }
 
 // Decode a JPEG file into RGB and box-resample into out[h*w*3] (uint8).
@@ -233,8 +205,31 @@ struct TiffSilencer {
 };
 static TiffSilencer tiff_silencer;
 
+// Header-only TIFF metadata probe (cheap; no pixel decode). Returns false
+// when the file is not a TIFF this reader supports.
+bool tiff_header_info(const char *path, int &w, int &h, int &c) {
+  TIFF *tif = TIFFOpen(path, "r");
+  if (!tif) return false;
+  uint32_t width = 0, height = 0;
+  uint16_t spp = 1, bps = 8, fmt = SAMPLEFORMAT_UINT;
+  TIFFGetField(tif, TIFFTAG_IMAGEWIDTH, &width);
+  TIFFGetField(tif, TIFFTAG_IMAGELENGTH, &height);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_SAMPLESPERPIXEL, &spp);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_BITSPERSAMPLE, &bps);
+  TIFFGetFieldDefaulted(tif, TIFFTAG_SAMPLEFORMAT, &fmt);
+  bool ok = width && height && (bps == 8 || bps == 16 || bps == 32) &&
+            (fmt == SAMPLEFORMAT_UINT || fmt == SAMPLEFORMAT_INT ||
+             fmt == SAMPLEFORMAT_IEEEFP);
+  w = (int)width;
+  h = (int)height;
+  c = (int)spp;
+  TIFFClose(tif);
+  return ok;
+}
+
 // Read a TIFF into a float32 HWC buffer (any of uint8/16/32, int8/16/32,
-// float32/64 samples; chunky or planar). Returns false on failure.
+// float32/64 samples; chunky or planar; striped or tiled — tiled is the
+// GDAL/COG default layout). Returns false on failure.
 bool decode_tiff_raw(const char *path, std::vector<float> &out, int &w,
                      int &h, int &c) {
   TIFF *tif = TIFFOpen(path, "r");
@@ -247,8 +242,7 @@ bool decode_tiff_raw(const char *path, std::vector<float> &out, int &w,
   TIFFGetFieldDefaulted(tif, TIFFTAG_BITSPERSAMPLE, &bps);
   TIFFGetFieldDefaulted(tif, TIFFTAG_SAMPLEFORMAT, &fmt);
   TIFFGetFieldDefaulted(tif, TIFFTAG_PLANARCONFIG, &planar);
-  if (!width || !height || TIFFIsTiled(tif) ||
-      (bps != 8 && bps != 16 && bps != 32) ||
+  if (!width || !height || (bps != 8 && bps != 16 && bps != 32) ||
       (fmt != SAMPLEFORMAT_UINT && fmt != SAMPLEFORMAT_INT &&
        fmt != SAMPLEFORMAT_IEEEFP)) {
     TIFFClose(tif);
@@ -258,8 +252,7 @@ bool decode_tiff_raw(const char *path, std::vector<float> &out, int &w,
   h = (int)height;
   c = (int)spp;
   out.assign((size_t)w * h * c, 0.0f);
-  std::vector<uint8_t> row(TIFFScanlineSize(tif));
-  auto to_float = [&](const uint8_t *p, int i) -> float {
+  auto to_float = [&](const uint8_t *p, size_t i) -> float {
     switch (bps) {
       case 8:
         return fmt == SAMPLEFORMAT_INT ? (float)((const int8_t *)p)[i]
@@ -274,18 +267,38 @@ bool decode_tiff_raw(const char *path, std::vector<float> &out, int &w,
     }
   };
   bool ok = true;
-  if (planar == PLANARCONFIG_CONTIG) {
-    for (int y = 0; y < h && ok; ++y) {
-      ok = TIFFReadScanline(tif, row.data(), y) >= 0;
-      for (int i = 0; ok && i < w * c; ++i)
-        out[(size_t)y * w * c + i] = to_float(row.data(), i);
-    }
-  } else {  // one plane per band
-    for (int s = 0; s < c && ok; ++s)
+  const int nplanes = planar == PLANARCONFIG_CONTIG ? 1 : c;
+  const int plane_c = planar == PLANARCONFIG_CONTIG ? c : 1;
+  if (TIFFIsTiled(tif)) {
+    uint32_t tw = 0, th = 0;
+    TIFFGetField(tif, TIFFTAG_TILEWIDTH, &tw);
+    TIFFGetField(tif, TIFFTAG_TILELENGTH, &th);
+    ok = tw && th;
+    std::vector<uint8_t> tile(ok ? TIFFTileSize(tif) : 0);
+    for (int s = 0; s < nplanes && ok; ++s)
+      for (uint32_t ty = 0; ty < height && ok; ty += th)
+        for (uint32_t tx = 0; tx < width && ok; tx += tw) {
+          ok = TIFFReadTile(tif, tile.data(), tx, ty, 0, (uint16_t)s) >= 0;
+          for (uint32_t y = 0; ok && y < th && ty + y < height; ++y)
+            for (uint32_t x = 0; x < tw && tx + x < width; ++x)
+              for (int k = 0; k < plane_c; ++k) {
+                size_t src = ((size_t)y * tw + x) * plane_c + k;
+                size_t dst = ((size_t)(ty + y) * width + tx + x) * c +
+                             (planar == PLANARCONFIG_CONTIG ? k : s);
+                out[dst] = to_float(tile.data(), src);
+              }
+        }
+  } else {
+    std::vector<uint8_t> row(TIFFScanlineSize(tif));
+    for (int s = 0; s < nplanes && ok; ++s)
       for (int y = 0; y < h && ok; ++y) {
         ok = TIFFReadScanline(tif, row.data(), y, (uint16_t)s) >= 0;
-        for (int i = 0; ok && i < w; ++i)
-          out[((size_t)y * w + i) * c + s] = to_float(row.data(), i);
+        for (int i = 0; ok && i < w * plane_c; ++i) {
+          size_t dst = planar == PLANARCONFIG_CONTIG
+                           ? (size_t)y * w * c + i
+                           : ((size_t)y * w + i) * c + s;
+          out[dst] = to_float(row.data(), i);
+        }
       }
   }
   TIFFClose(tif);
@@ -317,22 +330,28 @@ bool decode_tiff_to_canvas(const char *path, int canvas, int out_channels,
   }
   if ((int)keep->size() != out_channels) return false;
   // mask -> normalize -> select, fused into the uint8 conversion.
+  // The normalize arithmetic replicates data/datasets.py sentinel_normalize
+  // EXACTLY, including float32 op order — ((v - lo) * 255) / (hi - lo) —
+  // so the batch path is bit-identical to the Python pipeline (the build
+  // passes -ffp-contract=off to keep FMA contraction from changing
+  // rounding). A zero-sigma band (hi == lo) maps to 0 deterministically
+  // (numpy would emit inf/nan there).
   std::vector<uint8_t> u8((size_t)w * h * out_channels);
   for (int k = 0; k < out_channels; ++k) {
     int b = (*keep)[k];
     if (b >= c) return false;
     const bool is_masked = b < (int)spec.masked.size() && spec.masked[b];
-    float lo = 0.0f, inv = 1.0f;
+    float lo = 0.0f, range = 255.0f;
     if (spec.sentinel_norm) {
       float m = b < (int)spec.mean.size() ? spec.mean[b] : 0.0f;
       float s = b < (int)spec.stddev.size() ? spec.stddev[b] : 1.0f;
       lo = m - 2.0f * s;
-      inv = 255.0f / (4.0f * s);
+      range = (m + 2.0f * s) - lo;  // hi - lo, same float32 ops as numpy
     }
     const float mean_b = b < (int)spec.mean.size() ? spec.mean[b] : 0.0f;
     for (size_t i = 0; i < (size_t)w * h; ++i) {
       float v = is_masked ? mean_b : raw[i * c + b];
-      v = (v - lo) * inv;
+      v = range != 0.0f ? ((v - lo) * 255.0f) / range : 0.0f;
       v = v < 0.0f ? 0.0f : (v > 255.0f ? 255.0f : v);
       u8[i * out_channels + k] = (uint8_t)v;
     }
@@ -350,9 +369,12 @@ bool decode_image_to_canvas_spec(const char *path, int canvas, int channels,
   if (!f) return false;
   size_t got = fread(magic, 1, 4, f);
   fclose(f);
+  // TIFF: II*/MM* classic (42) or BigTIFF (43).
   if (got >= 4 &&
-      ((magic[0] == 'I' && magic[1] == 'I' && magic[2] == 42 && magic[3] == 0) ||
-       (magic[0] == 'M' && magic[1] == 'M' && magic[2] == 0 && magic[3] == 42)))
+      ((magic[0] == 'I' && magic[1] == 'I' &&
+        (magic[2] == 42 || magic[2] == 43) && magic[3] == 0) ||
+       (magic[0] == 'M' && magic[1] == 'M' && magic[2] == 0 &&
+        (magic[3] == 42 || magic[3] == 43))))
     return decode_tiff_to_canvas(path, canvas, channels, spec, out);
   if (channels != 3) return false;
   if (got >= 2 && magic[0] == 0xFF && magic[1] == 0xD8)
@@ -595,19 +617,21 @@ int csmae_decode_jpeg(const char *path, int canvas, uint8_t *out) {
 // are optional deps; this is the always-available path). Two-call pattern:
 // info fills {w, h, c}; read fills a float32 HWC buffer of that size.
 int csmae_tiff_info(const char *path, int32_t *whc) {
-  std::vector<float> buf;
   int w, h, c;
-  if (!decode_tiff_raw(path, buf, w, h, c)) return 0;
+  if (!tiff_header_info(path, w, h, c)) return 0;  // header tags only
   whc[0] = w;
   whc[1] = h;
   whc[2] = c;
   return 1;
 }
 
-int csmae_tiff_read_f32(const char *path, float *out) {
+// `capacity` = caller's buffer size in floats; rejects a file whose decoded
+// size no longer matches (e.g. replaced on disk between info and read).
+int csmae_tiff_read_f32(const char *path, float *out, int64_t capacity) {
   std::vector<float> buf;
   int w, h, c;
   if (!decode_tiff_raw(path, buf, w, h, c)) return 0;
+  if ((int64_t)buf.size() != capacity) return 0;
   memcpy(out, buf.data(), buf.size() * sizeof(float));
   return 1;
 }

@@ -204,7 +204,7 @@ class TestNative:
         assert all(np.any(b[0] > 0) for b in batches)
 
 
-def _write_tiff(path, arr):
+def _write_tiff(path, arr, tiled=False):
     """Minimal uncompressed chunky little-endian TIFF writer (HWC array of
     uint8/uint16/float32) — rasterio/tifffile are not in the image, so tests
     generate multi-band fixtures by hand."""
@@ -219,6 +219,10 @@ def _write_tiff(path, arr):
         bps, fmt = 32, 3
     else:
         raise ValueError(arr.dtype)
+    if tiled:
+        # single whole-image tile (w,h must be multiples of 16) — the
+        # minimal tiled layout, enough to exercise TIFFReadTile
+        assert arr.shape[0] % 16 == 0 and arr.shape[1] % 16 == 0
     data = np.ascontiguousarray(arr).tobytes()
     data_off = 8
     bps_arr_off = data_off + len(data)
@@ -237,13 +241,24 @@ def _write_tiff(path, arr):
         entry(258, 3, c, bps_arr_off if c > 2 else 0),  # BitsPerSample
         short_val(259, 1),                      # Compression: none
         short_val(262, 1),                      # Photometric: min-is-black
-        entry(273, 4, 1, data_off),             # StripOffsets
         short_val(277, c),                      # SamplesPerPixel
-        short_val(278, h),                      # RowsPerStrip
-        entry(279, 4, 1, len(data)),            # StripByteCounts
         short_val(284, 1),                      # PlanarConfig: chunky
         entry(339, 3, c, sf_arr_off if c > 2 else 0),  # SampleFormat
     ]
+    if tiled:
+        entries += [
+            short_val(322, w),                  # TileWidth = whole image
+            short_val(323, h),                  # TileLength
+            entry(324, 4, 1, data_off),         # TileOffsets
+            entry(325, 4, 1, len(data)),        # TileByteCounts
+        ]
+    else:
+        entries += [
+            entry(273, 4, 1, data_off),         # StripOffsets
+            short_val(278, h),                  # RowsPerStrip
+            entry(279, 4, 1, len(data)),        # StripByteCounts
+        ]
+    entries.sort(key=lambda e: int.from_bytes(e[:2], "little"))
     if c <= 2:  # inline small arrays
         entries[2] = struct.pack("<HHIHH", 258, 3, c, bps, bps if c == 2 else 0)
         entries[10] = struct.pack("<HHIHH", 339, 3, c, fmt, fmt if c == 2 else 0)
@@ -304,14 +319,16 @@ class TestNativeTiff:
         for cat in ("Forest", "River"):
             (tmp_path / cat).mkdir()
             for i in range(4):
-                # values spanning mean +- 2.5 sigma per band
+                # uint16 (the real Sentinel-2 sample type) spanning
+                # mean +- 2.5 sigma per band — exercises the boundary
+                # pixels where normalize rounding differences would show
                 arr = np.stack(
                     [
-                        rng.uniform(m - 2.5 * s, m + 2.5 * s, (16, 16))
+                        rng.uniform(max(m - 2.5 * s, 0), m + 2.5 * s, (16, 16))
                         for m, s in zip(SENTINEL_MEAN, SENTINEL_STD)
                     ],
                     axis=-1,
-                ).astype(np.float32)
+                ).astype(np.uint16)
                 p = tmp_path / cat / f"t{i}.tif"
                 _write_tiff(str(p), arr)
                 paths.append(str(p))
@@ -356,3 +373,31 @@ class TestNativeTiff:
         np.testing.assert_array_equal(flat, ref)
         labels = np.concatenate([b[1] for b in batches])
         np.testing.assert_array_equal(labels, ds.labels)
+
+    def test_tiled_tiff_roundtrip(self, tmp_path):
+        # GDAL/COG tiles are the common GeoTIFF layout; libtiff tile path.
+        self._skip_if_unbuilt()
+        from cross_scale_mae_tpu.data.native import read_tiff
+
+        rng = np.random.default_rng(5)
+        arr = rng.integers(0, 10000, (16, 32, 13), np.uint16)
+        p = tmp_path / "tiled.tif"
+        _write_tiff(str(p), arr, tiled=True)
+        out = read_tiff(str(p))
+        assert out is not None
+        np.testing.assert_array_equal(out, arr.astype(np.float32))
+
+    def test_unreadable_tiff_falls_back_to_python(self, tmp_path):
+        # A dataset whose tiles the native reader rejects must NOT engage
+        # the C++ batch path (which would zero-fill) — probe-decode gate.
+        self._skip_if_unbuilt()
+        from cross_scale_mae_tpu.data.datasets import EurosatDataset
+
+        bad = tmp_path / "Forest"
+        bad.mkdir()
+        (bad / "t0.tif").write_bytes(b"II*\x00garbage-not-a-tiff")
+        lst = tmp_path / "files.txt"
+        lst.write_text(str(bad / "t0.tif") + "\n")
+        ds = EurosatDataset(str(lst), canvas_size=16)
+        dl = DataLoader(ds, 1, shuffle=False, drop_last=False, num_threads=1)
+        assert dl._native is None, "probe gate must refuse undecodable tiles"
