@@ -111,6 +111,10 @@ def main(args) -> dict:
             imgs = np.concatenate(
                 [imgs, np.zeros((bs - n,) + imgs.shape[1:], imgs.dtype)]
             )
+        # Every host feeds the SAME full batch (num_shards=1 above), so
+        # plain device_put with a global sharding is the correct multi-host
+        # form here — unlike the per-host-sharded train loaders, which go
+        # through host_local_to_global.
         out = embed_step(params, jax.device_put(imgs, sharding))
         chunks.append(np.asarray(out)[:n])
         label_chunks.append(labels[:n])

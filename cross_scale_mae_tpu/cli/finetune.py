@@ -148,8 +148,10 @@ def evaluate(
     defaulting everything onto device 0."""
     cm = ConfusionMatrix(num_classes)
     losses, acc1s, acc5s, ns = [], [], [], []
-    put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
-        else jnp.asarray
+    from cross_scale_mae_tpu.data.loader import host_local_to_global
+
+    put = (lambda x: host_local_to_global(x, sharding)) \
+        if sharding is not None else jnp.asarray
     for imgs, labels in loader.epoch(epoch):
         n = len(labels)
         bs = batch_size or n

@@ -138,6 +138,23 @@ def _try_native(dataset: Dataset, batch_size: int, loader: DataLoader):
         return None
 
 
+def host_local_to_global(x: Any, sharding: Any):
+    """Form a GLOBAL device array from this process's LOCAL batch shard.
+
+    Single-process: plain ``device_put``. Multi-process: each host's loader
+    yields batch/process_count rows (the DistributedSampler replacement), so
+    the global array must be assembled with
+    ``jax.make_array_from_process_local_data`` — ``device_put(local,
+    global_sharding)`` would instead treat the LOCAL rows as the whole
+    global array: global batch silently shrinks by process_count and each
+    host discards (P-1)/P of what it decoded."""
+    import jax
+
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, x)
+
+
 def device_prefetch(
     iterator: Iterator, sharding: Any = None, buffer: int = 2
 ) -> Iterator:
@@ -147,7 +164,7 @@ def device_prefetch(
     def put(item):
         if sharding is None:
             return jax.tree.map(jax.device_put, item)
-        return jax.tree.map(lambda x: jax.device_put(x, sharding), item)
+        return jax.tree.map(lambda x: host_local_to_global(x, sharding), item)
 
     pending: list = []
     for item in iterator:

@@ -27,6 +27,16 @@ def initialize_distributed(
 
     want_dist = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if want_dist:
+        # Cross-process collectives on the CPU backend need gloo (the
+        # multi-host simulation used by tests; TPU uses ICI/DCN). Read the
+        # configured platform WITHOUT touching jax.devices()/default_backend —
+        # distributed.initialize must run before any backend initializes.
+        platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+        if "cpu" in str(platforms):
+            try:
+                jax.config.update("jax_cpu_collectives_implementation", "gloo")
+            except Exception:
+                pass
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

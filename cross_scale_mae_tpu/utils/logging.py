@@ -94,13 +94,40 @@ class RunLogger:
 
 def auto_output_dir(base: str, **config: Any) -> str:
     """Config-encoding run dir with +N anti-clobber suffix
-    (main_pretrain.py:450-493)."""
+    (main_pretrain.py:450-493).
+
+    Multi-host: rank 0 resolves the suffix and BROADCASTS the final path —
+    each rank probing the (shared) filesystem independently races: rank 1
+    sees rank 0's fresh dir and picks +1, the ranks then write checkpoints
+    to different directories and the collective Orbax save deadlocks
+    (found by tests/test_multiprocess.py)."""
+    import jax
+
     parts = [f"{k}_{v}" for k, v in config.items() if v is not None]
     name = "-".join(parts) if parts else "run"
     path = os.path.join(base, name)
-    if os.path.exists(path):
-        i = 1
-        while os.path.exists(f"{path}+{i}"):
-            i += 1
-        path = f"{path}+{i}"
+    if jax.process_index() == 0:
+        if os.path.exists(path):
+            i = 1
+            while os.path.exists(f"{path}+{i}"):
+                i += 1
+            path = f"{path}+{i}"
+        # Claim it immediately so the broadcast value stays valid.
+        os.makedirs(path, exist_ok=True)
+    if jax.process_count() > 1:
+        path = _broadcast_str(path)
     return path
+
+
+def _broadcast_str(s: str, max_len: int = 1024) -> str:
+    """Rank-0 string broadcast over the coordination service."""
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros((max_len,), np.uint8)
+    b = s.encode()
+    assert len(b) <= max_len, f"path too long to broadcast: {s!r}"
+    buf[: len(b)] = np.frombuffer(b, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return bytes(out).rstrip(b"\x00").decode()

@@ -209,7 +209,9 @@ class TestLogging:
         assert len(lines) == 2
         assert json.loads(lines[1])["loss"] == 1.2
 
+        # auto_output_dir now CLAIMS the dir immediately (rank-0 picks and
+        # broadcasts in multi-host; creating it keeps the name valid).
         d1 = auto_output_dir(str(tmp_path), model="m", lr=0.1)
-        os.makedirs(d1)
+        assert os.path.isdir(d1)
         d2 = auto_output_dir(str(tmp_path), model="m", lr=0.1)
-        assert d2 == d1 + "+1"
+        assert d2 == d1 + "+1" and os.path.isdir(d2)
