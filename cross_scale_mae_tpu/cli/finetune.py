@@ -152,7 +152,15 @@ def evaluate(
 
     put = (lambda x: host_local_to_global(x, sharding)) \
         if sharding is not None else jnp.asarray
-    for imgs, labels in loader.epoch(epoch):
+    def local_rows(a):
+        """This host's rows of a batch-sharded global output, in feed order
+        (multi-host: np.asarray on a non-fully-addressable array raises)."""
+        shards = sorted(
+            a.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards])
+
+    def run_batch(imgs, labels):
         n = len(labels)
         bs = batch_size or n
         labels_padded = labels
@@ -166,11 +174,38 @@ def evaluate(
         valid = put(np.arange(bs) < n)
         out = eval_step(state.params, state.model_state, put(imgs),
                         put(labels_padded), valid)
-        cm.update(np.asarray(out["pred"])[:n], labels[:n])
-        losses.append(float(out["loss"]) * n)
-        acc1s.append(float(out["acc1"]) * n)
-        acc5s.append(float(out["acc5"]) * n)
-        ns.append(n)
+        if n:
+            # F1/mIoU confusion counts come from this host's own rows (the
+            # reference's sklearn F1 is likewise per-rank under DDP).
+            cm.update(local_rows(out["pred"])[:n], labels[:n])
+        # loss/acc are GLOBAL valid-weighted means (replicated scalars);
+        # weight by the global valid count. An all-invalid sync batch has
+        # n_global == 0 batch-wide only if every host padded — guard nan.
+        n_global = float(out["n"])
+        if n_global:
+            losses.append(float(out["loss"]) * n_global)
+            acc1s.append(float(out["acc1"]) * n_global)
+            acc5s.append(float(out["acc5"]) * n_global)
+            ns.append(n_global)
+
+    steps_done = 0
+    for imgs, labels in loader.epoch(epoch):
+        run_batch(imgs, labels)
+        steps_done += 1
+    # Multi-host step sync: with drop_last=False, strided shards can differ
+    # by one batch. Each eval_step is a COLLECTIVE program, so hosts with
+    # fewer local batches must still participate — feed fully-invalid
+    # padded batches up to the largest shard's count or the job hangs.
+    if batch_size and sharding is not None:
+        extra = getattr(loader, "max_shard_steps", lambda: steps_done)() \
+            - steps_done
+        ds = loader.dataset
+        for _ in range(max(extra, 0)):
+            run_batch(
+                np.zeros((0, ds.canvas_size, ds.canvas_size, ds.in_c),
+                         np.uint8),
+                np.zeros((0,), np.int32),
+            )
     n = max(sum(ns), 1)
     return {
         "loss": sum(losses) / n,

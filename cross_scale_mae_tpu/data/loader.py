@@ -76,6 +76,18 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def max_shard_steps(self) -> int:
+        """Largest per-shard batch count this epoch = the number of
+        COLLECTIVE steps every host must execute. With drop_last=False the
+        strided shards can differ by one sample, which can round up to one
+        extra batch on the larger shard — a host that stops early hangs the
+        others inside the sharded eval program. Hosts with fewer batches
+        must feed fully-padded (all-invalid) batches up to this count."""
+        if self.drop_last:
+            return self.steps_per_epoch()
+        largest = (len(self.dataset) + self.num_shards - 1) // self.num_shards
+        return (largest + self.batch_size - 1) // self.batch_size
+
     def epoch(self, epoch: int = 0) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         """Yields (imgs uint8 (B, S, S, C), labels int32 (B,))."""
         if self._native is not None:

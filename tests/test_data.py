@@ -401,3 +401,22 @@ class TestNativeTiff:
         ds = EurosatDataset(str(lst), canvas_size=16)
         dl = DataLoader(ds, 1, shuffle=False, drop_last=False, num_threads=1)
         assert dl._native is None, "probe gate must refuse undecodable tiles"
+
+
+class TestMaxShardSteps:
+    def test_unequal_shards_round_up(self):
+        ds = SyntheticDataset(9, canvas_size=8)
+        dl0 = DataLoader(ds, 4, shuffle=False, drop_last=False,
+                         shard_id=0, num_shards=2, num_threads=1)
+        dl1 = DataLoader(ds, 4, shuffle=False, drop_last=False,
+                         shard_id=1, num_shards=2, num_threads=1)
+        assert dl0.steps_per_epoch() == 2  # shard of 5
+        assert dl1.steps_per_epoch() == 1  # shard of 4
+        # Every host must execute the LARGEST shard's batch count.
+        assert dl0.max_shard_steps() == dl1.max_shard_steps() == 2
+
+    def test_drop_last_equals_steps(self):
+        ds = SyntheticDataset(64, canvas_size=8)
+        dl = DataLoader(ds, 4, shuffle=True, drop_last=True,
+                        shard_id=1, num_shards=2, num_threads=1)
+        assert dl.max_shard_steps() == dl.steps_per_epoch()

@@ -81,3 +81,54 @@ def test_two_process_pretrain_end_to_end(tmp_path):
     assert np.isfinite(rec["train_loss"])
     # The collectively-written checkpoint restores (no partial shards).
     assert (run0 / "checkpoints").is_dir()
+
+
+_EVAL_DRIVER = """
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); out = sys.argv[2]; port = sys.argv[3]
+from cross_scale_mae_tpu.cli import finetune
+args = finetune.get_args_parser().parse_args([
+    "--model", "vit_base_patch16", "--embed_dim", "64", "--depth", "2",
+    "--num_heads", "4", "--input_size", "16", "--patch_size", "8",
+    "--dataset_type", "synthetic", "--synthetic_len", "9",
+    "--nb_classes", "3", "--batch_size", "8", "--epochs", "1",
+    "--warmup_epochs", "0", "--output_dir", out, "--eval",
+    "--compute_dtype", "float32", "--log_interval", "1",
+    "--coordinator_address", "127.0.0.1:" + port,
+    "--num_processes", "2", "--process_id", str(pid),
+])
+res = finetune.main(args)
+print("RESULT", pid, res["acc1"], res["loss"])
+"""
+
+
+@pytest.mark.slow
+def test_two_process_eval_unequal_shards(tmp_path):
+    """9 eval samples / 2 hosts / per-host batch 4: host 0's shard (5) takes
+    two collective eval steps, host 1's (4) takes one — without the
+    max_shard_steps sync padding, host 0 hangs in its second step. Both
+    hosts must finish and agree on the global valid-weighted metrics."""
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = ""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _EVAL_DRIVER, str(pid),
+             str(tmp_path / "out"), "29873"],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+    results = {}
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][-1]
+        _, pid, acc1, loss = line.split()
+        results[int(pid)] = (float(acc1), float(loss))
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
+    assert np.isfinite(results[0][1])
