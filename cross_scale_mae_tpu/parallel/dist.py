@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import os
 
+_initialized = False
+
 
 def initialize_distributed(
     coordinator_address: str | None = None,
@@ -25,8 +27,9 @@ def initialize_distributed(
     """
     import jax
 
+    global _initialized
     want_dist = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if want_dist:
+    if want_dist and not _initialized:
         # Cross-process collectives on the CPU backend need gloo (the
         # multi-host simulation used by tests; TPU uses ICI/DCN). Read the
         # configured platform WITHOUT touching jax.devices()/default_backend —
@@ -42,6 +45,8 @@ def initialize_distributed(
             num_processes=num_processes,
             process_id=process_id,
         )
+        _initialized = True  # idempotent: a second CLI run in-process
+        # (e.g. train then resume) must not re-initialize
     return dict(
         process_index=jax.process_index(),
         process_count=jax.process_count(),

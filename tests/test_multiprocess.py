@@ -132,3 +132,63 @@ def test_two_process_eval_unequal_shards(tmp_path):
         results[int(pid)] = (float(acc1), float(loss))
     np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
     assert np.isfinite(results[0][1])
+
+
+_SHARDMAP_RESUME_DRIVER = """
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); out = sys.argv[2]; port = sys.argv[3]
+from cross_scale_mae_tpu.cli import pretrain
+
+def run(extra):
+    args = pretrain.get_args_parser().parse_args([
+        "--model", "mae_vit_tiny_MsLd", "--dataset_type", "synthetic",
+        "--synthetic_len", "64", "--input_size", "16", "--patch_size", "8",
+        "--batch_size", "32", "--warmup_epochs", "0",
+        "--ckpt_interval", "1", "--output_dir", out,
+        "--compute_dtype", "float32", "--log_interval", "1",
+        "--ddp_mode", "shard_map",
+        "--coordinator_address", "127.0.0.1:" + port,
+        "--num_processes", "2", "--process_id", str(pid),
+    ] + extra)
+    return pretrain.main(args)
+
+r1 = run(["--epochs", "1"])
+ckpt = os.path.join(r1["output_dir"], "checkpoints")
+r2 = run(["--epochs", "2", "--resume", ckpt])
+print("RESULT", pid, r1["steps"], r2["steps"],
+      float(r2["last_metrics"]["loss"]))
+"""
+
+
+@pytest.mark.slow
+def test_two_process_shard_map_and_resume(tmp_path):
+    """shard_map DDP mode across real processes (manual SPMD + pmean over
+    gloo), then a second invocation restoring the collectively-written
+    checkpoint: resume must skip epoch 0 (1 epoch of new steps only) and
+    both hosts must agree on the final loss."""
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = ""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _SHARDMAP_RESUME_DRIVER, str(pid),
+             str(tmp_path / "out"), "29875"],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+    results = {}
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][-1]
+        _, pid, s1, s2, loss = line.split()
+        results[int(pid)] = (int(s1), int(s2), float(loss))
+    # 64 samples / global batch 32 = 2 steps per epoch; the resumed run
+    # covers only epoch 1.
+    assert results[0][:2] == results[1][:2] == (2, 2)
+    np.testing.assert_allclose(results[0][2], results[1][2], rtol=1e-6)
