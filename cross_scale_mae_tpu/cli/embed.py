@@ -17,6 +17,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import time
@@ -90,7 +91,14 @@ def main(args) -> dict:
         dtype=cfg.compute_dtype,
     )
 
-    @jax.jit
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    # Output replicated: every host fetches the full feature block (a
+    # batch-sharded output would not be fully addressable on any one host
+    # in a multi-process run).
+    @functools.partial(
+        jax.jit, out_shardings=NamedSharding(mesh, PartitionSpec())
+    )
     def embed_step(params, imgs):
         feats = mae_encode(params, cfg, preprocess(imgs))
         if args.pool == "cls":

@@ -197,8 +197,7 @@ def evaluate(
     # fewer local batches must still participate — feed fully-invalid
     # padded batches up to the largest shard's count or the job hangs.
     if batch_size and sharding is not None:
-        extra = getattr(loader, "max_shard_steps", lambda: steps_done)() \
-            - steps_done
+        extra = loader.max_shard_steps() - steps_done
         ds = loader.dataset
         for _ in range(max(extra, 0)):
             run_batch(

@@ -184,7 +184,12 @@ def main(args) -> dict:
         mean, std, args.input_size, normalize=eval_ds.normalize_on_device,
         dtype=args.compute_dtype,
     )
-    train_step = make_classify_train_step(vcfg, tcfg, schedule, augment=augment)
+    # freeze_backbone cuts the gradient at the head boundary so XLA prunes
+    # the backbone backward entirely (torch requires_grad=False semantics;
+    # optax.masked alone still computed-and-discarded it — ~3x step cost).
+    train_step = make_classify_train_step(
+        vcfg, tcfg, schedule, augment=augment, freeze_backbone=True
+    )
     eval_step = make_eval_step(vcfg, preprocess=preprocess)
     data_sharding = batch_sharding(mesh)
 

@@ -145,9 +145,18 @@ def vit_apply(
     train: bool = False,
     rng: jax.Array | None = None,
     bn_momentum: float = 0.1,
+    freeze_backbone: bool = False,
 ) -> tuple[jnp.ndarray, Params]:
-    """Returns (logits (N, num_classes), new_state)."""
+    """Returns (logits (N, num_classes), new_state).
+
+    ``freeze_backbone`` cuts the gradient at the feature boundary (the
+    linear probe's torch ``requires_grad=False``, main_linprobe.py:521-525).
+    optax.masked alone only masks the UPDATE — the backbone backward would
+    still be computed and thrown away (measured: the whole linprobe step ran
+    ~3x slower than necessary before this cut let XLA prune it)."""
     feat = vit_forward_features(params, cfg, imgs, train=train, rng=rng)
+    if freeze_backbone:
+        feat = jax.lax.stop_gradient(feat)
     new_state = dict(state)
     if cfg.use_bn_head:
         f32 = feat.astype(jnp.float32)

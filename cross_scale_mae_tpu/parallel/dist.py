@@ -38,8 +38,13 @@ def initialize_distributed(
         if "cpu" in str(platforms):
             try:
                 jax.config.update("jax_cpu_collectives_implementation", "gloo")
-            except Exception:
-                pass
+            except Exception as e:
+                import warnings
+
+                warnings.warn(
+                    f"could not enable gloo CPU collectives ({e}); "
+                    f"multi-process CPU runs may hang in the first psum"
+                )
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

@@ -29,6 +29,7 @@ def make_classify_train_step(
     schedule: Callable,
     donate: bool = True,
     augment: Callable | None = None,
+    freeze_backbone: bool = False,
 ) -> Callable:
     """step(state, imgs, labels, rng) -> (state, metrics). ``augment`` (from
     ops/augment.py) moves the dataset transform chain on device; imgs are
@@ -56,7 +57,8 @@ def make_classify_train_step(
         else:
             targets = smooth_one_hot(labels, cfg.num_classes, tcfg.label_smoothing)
         logits, new_model_state = vit_apply(
-            params, model_state, cfg, imgs, train=True, rng=k_model
+            params, model_state, cfg, imgs, train=True, rng=k_model,
+            freeze_backbone=freeze_backbone,
         )
         loss = soft_cross_entropy(logits, targets)
         acc1 = jnp.mean(

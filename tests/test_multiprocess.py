@@ -20,6 +20,14 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+
+def _free_port() -> str:
+    import socket
+
+    with socket.socket() as sock:
+        sock.bind(("127.0.0.1", 0))
+        return str(sock.getsockname()[1])
+
 _DRIVER = """
 import os, sys
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
@@ -45,11 +53,12 @@ print("RESULT", pid, res["steps"], float(res["last_metrics"]["loss"]))
 def test_two_process_pretrain_end_to_end(tmp_path):
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env["JAX_PLATFORMS"] = ""
+    port = _free_port()  # one coordinator port shared by both workers
     procs = []
     for pid in range(2):
         procs.append(subprocess.Popen(
             [sys.executable, "-c", _DRIVER, str(pid),
-             str(tmp_path / "out"), "29871"],  # SHARED dir, as on a real pod
+             str(tmp_path / "out"), port],  # SHARED dir, as on a real pod
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         ))
@@ -93,7 +102,7 @@ from cross_scale_mae_tpu.cli import finetune
 args = finetune.get_args_parser().parse_args([
     "--model", "vit_base_patch16", "--embed_dim", "64", "--depth", "2",
     "--num_heads", "4", "--input_size", "16", "--patch_size", "8",
-    "--dataset_type", "synthetic", "--synthetic_len", "9",
+    "--dataset_type", "synthetic", "--synthetic_len", "260",
     "--nb_classes", "3", "--batch_size", "8", "--epochs", "1",
     "--warmup_epochs", "0", "--output_dir", out, "--eval",
     "--compute_dtype", "float32", "--log_interval", "1",
@@ -107,16 +116,19 @@ print("RESULT", pid, res["acc1"], res["loss"])
 
 @pytest.mark.slow
 def test_two_process_eval_unequal_shards(tmp_path):
-    """9 eval samples / 2 hosts / per-host batch 4: host 0's shard (5) takes
-    two collective eval steps, host 1's (4) takes one — without the
-    max_shard_steps sync padding, host 0 hangs in its second step. Both
-    hosts must finish and agree on the global valid-weighted metrics."""
+    """finetune.main inflates the synthetic eval split to
+    max(synthetic_len // 4, 64) samples; 260 -> 65 eval samples over
+    2 hosts at per-host batch 4 gives shards of 33 vs 32 = 9 vs 8
+    collective eval steps. Without the max_shard_steps sync padding, the
+    9-step host hangs in its last step. Both hosts must finish and agree
+    on the global valid-weighted metrics."""
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env["JAX_PLATFORMS"] = ""
+    port = _free_port()
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", _EVAL_DRIVER, str(pid),
-             str(tmp_path / "out"), "29873"],
+             str(tmp_path / "out"), port],
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
@@ -171,10 +183,11 @@ def test_two_process_shard_map_and_resume(tmp_path):
     both hosts must agree on the final loss."""
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env["JAX_PLATFORMS"] = ""
+    port = _free_port()
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", _SHARDMAP_RESUME_DRIVER, str(pid),
-             str(tmp_path / "out"), "29875"],
+             str(tmp_path / "out"), port],
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
