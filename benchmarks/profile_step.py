@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import argparse
 import glob
-import gzip
 import json
 import os
 import sys
@@ -26,41 +25,30 @@ def trace_flagship(trace_dir: str, steps: int, batch_per_chip: int,
                    attention: str, scan_blocks: bool) -> float:
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
-    from cross_scale_mae_tpu.configs import TrainConfig, get_mae_config
+    # The flagship configuration comes from bench._setup so the profiler
+    # measures EXACTLY the program bench.py benchmarks (no drift).
+    import bench
     from cross_scale_mae_tpu.data.datasets import FMOW_RGB_MEAN, FMOW_RGB_STD
-    from cross_scale_mae_tpu.models import mae_init
     from cross_scale_mae_tpu.ops.augment import make_pretrain_augment
-    from cross_scale_mae_tpu.parallel import (
-        batch_sharding, make_mesh, shard_train_state,
-    )
-    from cross_scale_mae_tpu.train import (
-        TrainState, build_optimizer, warmup_half_cosine,
-    )
+    from cross_scale_mae_tpu.parallel import batch_sharding
     from cross_scale_mae_tpu.train.pretrain import make_pretrain_step
 
-    cfg = get_mae_config(
-        "mae_vit_base_MsLdCeCd", input_size=128, patch_size=16,
-        mask_ratio=0.75, compute_dtype="bfloat16",
-        scan_blocks=scan_blocks, attention_impl=attention,
+    cfg, tcfg, schedule, mesh, state, imgs, batch, _ = bench._setup(
+        scan_blocks=scan_blocks, attention_impl=attention
     )
-    n_chips = jax.device_count()
-    batch = batch_per_chip * n_chips
-    tcfg = TrainConfig(epochs=400, warmup_epochs=40, batch_size=batch, blr=5e-5)
-    mesh = make_mesh(model_parallel=1)
-    schedule = warmup_half_cosine(tcfg.resolved_lr(batch), 0.0, 40, 400, 1000)
-    params, mstate = mae_init(jax.random.key(0), cfg)
-    tx = build_optimizer(params, schedule, weight_decay=0.05)
-    state = TrainState.create(params, mstate, tx)
-    state = shard_train_state(mesh, state, tensor_parallel=False)
+    if batch_per_chip and batch_per_chip != batch:
+        # explicit --batch override: rebuild the raw input only
+        import numpy as np
+
+        batch = batch_per_chip * jax.device_count()
+        imgs = np.random.default_rng(0).integers(
+            0, 256, (batch, cfg.input_size, cfg.input_size, 3), np.uint8
+        )
     augment = make_pretrain_augment(
         FMOW_RGB_MEAN, FMOW_RGB_STD, cfg.input_size, dtype=cfg.compute_dtype
     )
     step = make_pretrain_step(cfg, tcfg, schedule, donate=True, augment=augment)
-    imgs = np.random.default_rng(0).integers(
-        0, 256, (batch, cfg.input_size, cfg.input_size, 3), np.uint8
-    )
     batch_dev = jax.device_put(jnp.asarray(imgs), batch_sharding(mesh))
     rng = jax.random.key(1)
 
@@ -77,6 +65,10 @@ def trace_flagship(trace_dir: str, steps: int, batch_per_chip: int,
     loss = float(metrics["loss"])  # sync before stopping the trace
     dt = time.perf_counter() - t0
     jax.profiler.stop_trace()
+    # Record the step count next to the trace so --analyze_only divides by
+    # what was actually traced, not whatever --steps defaults to later.
+    with open(os.path.join(trace_dir, "steps.json"), "w") as f:
+        json.dump({"steps": steps, "ms_per_step": dt / steps * 1e3}, f)
     print(f"traced {steps} steps, {dt / steps * 1e3:.1f} ms/step, "
           f"loss={loss:.4f}", file=sys.stderr)
     return dt / steps
@@ -84,6 +76,10 @@ def trace_flagship(trace_dir: str, steps: int, batch_per_chip: int,
 
 def analyze(trace_dir: str, steps: int) -> list[dict]:
     """Parse the xplane proto into per-HLO-category self times (ms/step)."""
+    sidecar = os.path.join(trace_dir, "steps.json")
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            steps = json.load(f)["steps"]
     xplanes = glob.glob(
         os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True
     )

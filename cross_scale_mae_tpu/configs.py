@@ -155,6 +155,13 @@ class MAEConfig:
         for k in ("ms_range", "ms_aspect_ratio"):
             if k in d and d[k] is not None:
                 d[k] = tuple(d[k])
+        # Checkpoint-compat: configs written before the gelu field existed
+        # were trained with torch-exact GELU (the then-hardcoded behavior);
+        # rehydrating them as the new 'tanh' default would silently change
+        # the activation under a resumed/evaluated checkpoint.
+        d.setdefault("gelu", "exact")
+        if d["gelu"] not in ("tanh", "exact"):
+            raise ValueError(f"unknown gelu flavor {d['gelu']!r}")
         return cls(**d)
 
 
@@ -246,7 +253,11 @@ class ViTClassifierConfig:
 
     @classmethod
     def from_json(cls, s: str) -> "ViTClassifierConfig":
-        return cls(**json.loads(s))
+        d = json.loads(s)
+        d.setdefault("gelu", "exact")  # see MAEConfig.from_json
+        if d["gelu"] not in ("tanh", "exact"):
+            raise ValueError(f"unknown gelu flavor {d['gelu']!r}")
+        return cls(**d)
 
 
 _VIT_SIZES = {

@@ -266,3 +266,29 @@ def test_dryrun_multichip_bootstraps_subprocess():
         sys.path.pop(0)
     # 16 > the 8 devices this test process has -> exercises the subprocess.
     g.dryrun_multichip(16)
+
+
+def test_gelu_checkpoint_compat():
+    """Configs serialized before the gelu field existed were trained with
+    exact (torch) GELU; rehydrating them must NOT pick up the new 'tanh'
+    default, or a resumed/evaluated checkpoint silently changes activation."""
+    import json
+
+    from cross_scale_mae_tpu.configs import (
+        MAEConfig, ViTClassifierConfig, get_mae_config,
+    )
+
+    old = json.loads(get_mae_config("mae_vit_tiny").to_json())
+    del old["gelu"]
+    assert MAEConfig.from_json(json.dumps(old)).gelu == "exact"
+    # new-style configs round-trip their actual value
+    assert MAEConfig.from_json(get_mae_config("mae_vit_tiny").to_json()).gelu == "tanh"
+    # unknown flavors are rejected, not silently tanh'd
+    bad = dict(old, gelu="erf")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MAEConfig.from_json(json.dumps(bad))
+    vd = json.loads(ViTClassifierConfig().to_json())
+    del vd["gelu"]
+    assert ViTClassifierConfig.from_json(json.dumps(vd)).gelu == "exact"
