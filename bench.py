@@ -59,7 +59,9 @@ def _setup(scan_blocks=False, attention_impl="pallas_v3", batch_crop=False):
         # output directly; kills the head fold/unfold HBM transposes;
         # round 2, 1520 -> 1945 @ b128, 2004 @ b256) + tanh GELU (exact-erf
         # GELU cost ~18.6 ms/step in fp32 erfc + sign-predicate bit-packing;
-        # round 2, 1978 -> ~2280; benchmarks/profile_step.py evidence).
+        # round 2, 1978 -> ~2320) + the 24 MB scoped-VMEM limit set at
+        # package import (decoder attention bwd G=16; ~2320 -> ~2380;
+        # benchmarks/profile_step.py evidence).
         scan_blocks=scan_blocks, attention_impl=attention_impl,
         ms_per_sample_crop=not batch_crop,
     )

@@ -26,4 +26,20 @@ Design principles (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Raise the TPU compiler's scoped-VMEM budget from its 16 MB default: the
+# Pallas attention backward then fits batch-group 16 (vs 8), worth ~3% on
+# the flagship step (112.2 -> 108.7 ms, bit-identical loss; see
+# docs/VALIDATION.md). libtpu snapshots LIBTPU_INIT_ARGS at first backend
+# initialization, which is strictly after this package import in every
+# entry path (the env mutation is a no-op if the backend somehow
+# initialized first — the kernels then fall back to the 16 MB budget, see
+# ops/attention._group3_for). Opt out with CSMAE_NO_VMEM_OVERRIDE=1.
+_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=24576"
+if not _os.environ.get("CSMAE_NO_VMEM_OVERRIDE"):
+    _args = _os.environ.get("LIBTPU_INIT_ARGS", "")
+    if "xla_tpu_scoped_vmem_limit_kib" not in _args:
+        _os.environ["LIBTPU_INIT_ARGS"] = (_args + " " + _VMEM_FLAG).strip()
+
 from cross_scale_mae_tpu import configs  # noqa: F401
