@@ -411,9 +411,11 @@ def _group3_for(n: int, l: int, three_d: int, itemsize: int, bwd: bool) -> int:
     # 24 MB via LIBTPU_INIT_ARGS, where 12 MB / G=16 measures 3% faster
     # end-to-end (112.2 -> 108.7 ms flagship step).
     import os
+    import re
 
-    budget_mb = 12 if "xla_tpu_scoped_vmem_limit_kib=24576" in os.environ.get(
-        "LIBTPU_INIT_ARGS", "") else 10
+    m = re.search(r"xla_tpu_scoped_vmem_limit_kib=(\d+)",
+                  os.environ.get("LIBTPU_INIT_ARGS", ""))
+    budget_mb = 12 if m and int(m.group(1)) >= 24576 else 10
     group = 32
     while group > 1 and (n % group or 2 * group * per_item > budget_mb * 2 ** 20):
         group //= 2
