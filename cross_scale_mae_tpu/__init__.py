@@ -32,14 +32,21 @@ import os as _os
 # Pallas attention backward then fits batch-group 16 (vs 8), worth ~3% on
 # the flagship step (112.2 -> 108.7 ms, bit-identical loss; see
 # docs/VALIDATION.md). libtpu snapshots LIBTPU_INIT_ARGS at first backend
-# initialization, which is strictly after this package import in every
-# entry path (the env mutation is a no-op if the backend somehow
-# initialized first — the kernels then fall back to the 16 MB budget, see
-# ops/attention._group3_for). Opt out with CSMAE_NO_VMEM_OVERRIDE=1.
+# initialization, so the mutation only happens while no backend is
+# initialized yet (ops/attention._group3_for keys its batch-group budget
+# off the env var, which must therefore reflect what libtpu actually
+# snapshotted). Opt out with CSMAE_NO_VMEM_OVERRIDE=1.
 _VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=24576"
 if not _os.environ.get("CSMAE_NO_VMEM_OVERRIDE"):
     _args = _os.environ.get("LIBTPU_INIT_ARGS", "")
     if "xla_tpu_scoped_vmem_limit_kib" not in _args:
-        _os.environ["LIBTPU_INIT_ARGS"] = (_args + " " + _VMEM_FLAG).strip()
+        try:
+            from jax._src import xla_bridge as _xb
+
+            _too_late = _xb.backends_are_initialized()
+        except Exception:
+            _too_late = True  # can't tell -> don't risk a budget mismatch
+        if not _too_late:
+            _os.environ["LIBTPU_INIT_ARGS"] = (_args + " " + _VMEM_FLAG).strip()
 
 from cross_scale_mae_tpu import configs  # noqa: F401

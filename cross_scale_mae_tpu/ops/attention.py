@@ -398,9 +398,12 @@ def _mha3_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads: int,
 
 def _group3_for(n: int, l: int, three_d: int, itemsize: int, bwd: bool) -> int:
     """Largest power-of-2 batch group whose double-buffered VMEM blocks fit
-    a ~10 MB budget (16 MB VMEM minus kernel stack headroom). Bigger groups
-    mean more rows per head-matmul => better MXU utilization — the encoder's
-    short L=17 blocks can take G=32 while the decoder backward stays at 8."""
+    the scoped-VMEM budget. Bigger groups mean more rows per head-matmul =>
+    better MXU utilization. The budget is env-dependent: 10 MB under the
+    compiler's default 16 MB scoped-VMEM limit, 12 MB when the package
+    init raised the limit to >= 24 MB via LIBTPU_INIT_ARGS (which admits
+    the decoder backward at G=16; the encoder's short L=17 blocks take
+    G=32 either way)."""
     d = three_d // 3
     per_item = (three_d + d + (d if bwd else 0)) * itemsize * l
     # Budget: block buffers + kernel stack + whatever operands XLA keeps
