@@ -421,38 +421,43 @@ class TestMaxShardSteps:
                         shard_id=1, num_shards=2, num_threads=1)
         assert dl.max_shard_steps() == dl.steps_per_epoch()
 
-    def test_sentinel_csv_native_batch(self, tmp_path):
-        # fMoW-Sentinel CSV format (category/timestamp/image_path + year
-        # filtering) through the C++ multiband batch path.
-        self._skip_if_unbuilt()
-        from cross_scale_mae_tpu.data.datasets import (
-            SENTINEL_MEAN, SENTINEL_STD, SentinelDataset,
-        )
 
-        rng = np.random.default_rng(7)
-        rows = []
-        for i in range(6):
-            arr = np.stack(
-                [
-                    rng.uniform(max(m - 2 * s, 0), m + 2 * s, (8, 8))
-                    for m, s in zip(SENTINEL_MEAN, SENTINEL_STD)
-                ],
-                axis=-1,
-            ).astype(np.uint16)
-            p = tmp_path / f"s{i}.tif"
-            _write_tiff(str(p), arr)
-            year = 2015 + (i % 2)  # alternate 2015/2016
-            cat = "airport" if i % 3 else "port"
-            rows.append(f"{cat},{year}-06-01T00:00:00Z,{p.name}")
-        csv_path = tmp_path / "sentinel.csv"
-        csv_path.write_text(
-            "category,timestamp,image_path\n" + "\n".join(rows) + "\n"
-        )
-        ds = SentinelDataset(str(csv_path), canvas_size=8, years=[2016])
-        assert len(ds) == 3  # year filter kept half
-        dl = DataLoader(ds, 2, shuffle=False, drop_last=False, num_threads=1)
-        assert dl._native is not None
-        batches = list(dl.epoch(0))
-        flat = np.concatenate([b[0] for b in batches])
-        ref = np.stack([ds.load(i)[0] for i in range(3)])
-        np.testing.assert_array_equal(flat, ref)
+
+def test_sentinel_csv_native_batch(tmp_path):
+    # fMoW-Sentinel CSV format (category/timestamp/image_path + year
+    # filtering) through the C++ multiband batch path.
+    from cross_scale_mae_tpu.data.native import get_library
+
+    if get_library() is None:
+        pytest.skip("native loader not built")
+    from cross_scale_mae_tpu.data.datasets import (
+        SENTINEL_MEAN, SENTINEL_STD, SentinelDataset,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(6):
+        arr = np.stack(
+            [
+                rng.uniform(max(m - 2 * s, 0), m + 2 * s, (8, 8))
+                for m, s in zip(SENTINEL_MEAN, SENTINEL_STD)
+            ],
+            axis=-1,
+        ).astype(np.uint16)
+        p = tmp_path / f"s{i}.tif"
+        _write_tiff(str(p), arr)
+        year = 2015 + (i % 2)  # alternate 2015/2016
+        cat = "airport" if i % 3 else "port"
+        rows.append(f"{cat},{year}-06-01T00:00:00Z,{p.name}")
+    csv_path = tmp_path / "sentinel.csv"
+    csv_path.write_text(
+        "category,timestamp,image_path\n" + "\n".join(rows) + "\n"
+    )
+    ds = SentinelDataset(str(csv_path), canvas_size=8, years=[2016])
+    assert len(ds) == 3  # year filter kept half
+    dl = DataLoader(ds, 2, shuffle=False, drop_last=False, num_threads=1)
+    assert dl._native is not None
+    batches = list(dl.epoch(0))
+    flat = np.concatenate([b[0] for b in batches])
+    ref = np.stack([ds.load(i)[0] for i in range(3)])
+    np.testing.assert_array_equal(flat, ref)
