@@ -205,3 +205,113 @@ def test_two_process_shard_map_and_resume(tmp_path):
     # covers only epoch 1.
     assert results[0][:2] == results[1][:2] == (2, 2)
     np.testing.assert_allclose(results[0][2], results[1][2], rtol=1e-6)
+
+
+_ZERO1_TP_DRIVER = """
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); out = sys.argv[2]; port = sys.argv[3]
+from cross_scale_mae_tpu.cli import pretrain
+args = pretrain.get_args_parser().parse_args([
+    "--model", "mae_vit_tiny_MsLd", "--dataset_type", "synthetic",
+    "--synthetic_len", "64", "--input_size", "16", "--patch_size", "8",
+    "--batch_size", "32", "--epochs", "1", "--warmup_epochs", "0",
+    "--ckpt_interval", "1", "--output_dir", out,
+    "--compute_dtype", "float32", "--log_interval", "1",
+    "--zero1", "--model_parallel", "2",
+    "--coordinator_address", "127.0.0.1:" + port,
+    "--num_processes", "2", "--process_id", str(pid),
+])
+res = pretrain.main(args)
+print("RESULT", pid, res["steps"], float(res["last_metrics"]["loss"]))
+"""
+
+
+@pytest.mark.slow
+def test_two_process_zero1_tensor_parallel(tmp_path):
+    """ZeRO-1 (optimizer moments sharded over 'data') combined with 2-way
+    tensor parallelism on a mesh that SPANS processes ({'data':4,'model':2}
+    over 2 hosts x 4 devices): the optimizer update then reads moment
+    shards living on both hosts. Completes + identical losses = the
+    cross-host sharded-state path works end-to-end incl. the collective
+    checkpoint save."""
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = ""
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _ZERO1_TP_DRIVER, str(pid),
+             str(tmp_path / "out"), port],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+    results = {}
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][-1]
+        _, pid, steps, loss = line.split()
+        results[int(pid)] = (int(steps), float(loss))
+    assert results[0][0] == results[1][0] == 2
+    assert np.isfinite(results[0][1])
+    np.testing.assert_allclose(results[0][1], results[1][1], rtol=1e-6)
+
+
+_EMBED_DRIVER = """
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); out = sys.argv[2]; port = sys.argv[3]
+from cross_scale_mae_tpu.cli import embed, pretrain
+res = pretrain.main(pretrain.get_args_parser().parse_args([
+    "--model", "mae_vit_tiny", "--dataset_type", "synthetic",
+    "--synthetic_len", "32", "--input_size", "16", "--patch_size", "8",
+    "--batch_size", "16", "--epochs", "1", "--warmup_epochs", "0",
+    "--ckpt_interval", "1", "--output_dir", out,
+    "--compute_dtype", "float32", "--log_interval", "2",
+    "--coordinator_address", "127.0.0.1:" + port,
+    "--num_processes", "2", "--process_id", str(pid),
+]))
+ckpt = os.path.join(res["output_dir"], "checkpoints")
+r2 = embed.main(embed.get_args_parser().parse_args([
+    "--ckpt", ckpt, "--dataset_type", "synthetic", "--synthetic_len", "21",
+    "--batch_size", "16", "--pool", "cls",
+    "--output_dir", os.path.join(out, "feats"),
+]))
+print("RESULT", pid, r2["count"], r2["shape"][0], r2["shape"][1])
+"""
+
+
+@pytest.mark.slow
+def test_two_process_embed(tmp_path):
+    """Embedding extraction on a 2-process mesh: the replicated output
+    sharding must let BOTH hosts fetch the full feature block (a batch-
+    sharded output is not fully addressable on either host), and rank 0's
+    features.npy must cover the whole dataset."""
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = ""
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _EMBED_DRIVER, str(pid),
+             str(tmp_path / "out"), port],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][-1]
+        _, _, count, rows, dim = line.split()
+        assert (int(count), int(rows), int(dim)) == (21, 21, 128)
+    feats = np.load(tmp_path / "out" / "feats" / "features.npy")
+    assert feats.shape == (21, 128) and np.isfinite(feats).all()
