@@ -461,3 +461,52 @@ def test_sentinel_csv_native_batch(tmp_path):
     flat = np.concatenate([b[0] for b in batches])
     ref = np.stack([ds.load(i)[0] for i in range(3)])
     np.testing.assert_array_equal(flat, ref)
+
+
+def test_native_and_python_loaders_agree_on_shard_step_counts(tmp_path):
+    """Awkward dataset sizes: both loader backends must give every shard the
+    same steps_per_epoch (drop_last) and the same max_shard_steps (eval) —
+    a native/python disagreement would desync a mixed-backend pod."""
+    from PIL import Image
+
+    from cross_scale_mae_tpu.data.datasets import FmowRgbDataset
+    from cross_scale_mae_tpu.data.native import get_library
+
+    if get_library() is None:
+        pytest.skip("native loader not built")
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(37):
+        p = tmp_path / f"i{i:02d}.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, (12, 12, 3), np.uint8)
+        ).save(p, quality=90)
+        names.append(p.name)
+    csv = tmp_path / "x.csv"
+    csv.write_text(
+        "category,image_path\n" + "\n".join(f"0,{n}" for n in names) + "\n"
+    )
+    for drop_last, shuffle in ((True, True), (False, False)):
+        counts = {}
+        for backend in ("native", "python"):
+            per_shard = []
+            for sid in range(2):
+                ds = FmowRgbDataset(str(csv), canvas_size=12)
+                dl = DataLoader(
+                    ds, 4, shuffle=shuffle, drop_last=drop_last,
+                    shard_id=sid, num_shards=2, num_threads=1,
+                    use_native=(backend == "native"),
+                )
+                if backend == "native":
+                    assert dl._native is not None
+                n_batches = len(list(dl.epoch(0)))
+                per_shard.append(n_batches)
+            counts[backend] = per_shard
+        assert counts["native"] == counts["python"], (drop_last, counts)
+        if drop_last:
+            # 37 -> usable 32 -> 16/shard -> 4 batches on EVERY shard
+            assert counts["python"] == [4, 4]
+        else:
+            # shards 19/18 -> ceil/4 = 5/5 (equal here; max_shard_steps
+            # guards the unequal case, tested separately)
+            assert counts["python"] == [5, 5]
