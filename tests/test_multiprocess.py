@@ -315,3 +315,57 @@ def test_two_process_embed(tmp_path):
         assert (int(count), int(rows), int(dim)) == (21, 21, 128)
     feats = np.load(tmp_path / "out" / "feats" / "features.npy")
     assert feats.shape == (21, 128) and np.isfinite(feats).all()
+
+
+_KILL_DRIVER = """
+import os, sys, time
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); port = sys.argv[2]
+from cross_scale_mae_tpu.parallel.dist import initialize_distributed
+initialize_distributed("127.0.0.1:" + port, 2, pid)
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+sh = NamedSharding(mesh, P("data"))
+f = jax.jit(lambda x: jnp.sum(x * 2), out_shardings=NamedSharding(mesh, P()))
+g = jax.make_array_from_process_local_data(
+    sh, np.arange(4, dtype=np.float32)
+)
+for i in range(1000):
+    if pid == 1 and i == 3:
+        os._exit(42)  # simulate a host crash, no cleanup
+    float(f(g))
+    print(f"STEP {i}", flush=True)
+    time.sleep(1)
+"""
+
+
+@pytest.mark.slow
+def test_peer_death_detected_not_hung(tmp_path):
+    """Failure detection: when one host dies mid-job, the survivor must
+    ABORT (coordination-service heartbeat timeout, ~100 s) rather than hang
+    in the next collective forever. The reference has no failure detection
+    at all (SURVEY.md §5) — a dead rank leaves torchrun peers blocked in
+    NCCL until an external watchdog kills them."""
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = ""
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _KILL_DRIVER, str(pid), port],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    out1 = procs[1].communicate(timeout=300)[0]
+    assert procs[1].returncode == 42  # the simulated crash
+    # Survivor must terminate on its own, with an error, within the
+    # detection window (default heartbeat timeout ~100 s + margin).
+    out0 = procs[0].communicate(timeout=300)[0]
+    assert procs[0].returncode not in (0, None), out0[-1500:]
+    assert "unhealthy" in out0 or "crashed" in out0.lower(), out0[-1500:]
+    assert out1 is not None
