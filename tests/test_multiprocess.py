@@ -369,3 +369,80 @@ def test_peer_death_detected_not_hung(tmp_path):
     assert procs[0].returncode not in (0, None), out0[-1500:]
     assert "unhealthy" in out0 or "crashed" in out0.lower(), out0[-1500:]
     assert out1 is not None
+
+
+_SHRINK_WRITER = """
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); out = sys.argv[2]; port = sys.argv[3]
+from cross_scale_mae_tpu.cli import pretrain
+res = pretrain.main(pretrain.get_args_parser().parse_args([
+    "--model", "mae_vit_tiny_MsLd", "--dataset_type", "synthetic",
+    "--synthetic_len", "64", "--input_size", "16", "--patch_size", "8",
+    "--batch_size", "32", "--epochs", "1", "--warmup_epochs", "0",
+    "--ckpt_interval", "1", "--output_dir", out, "--zero1",
+    "--compute_dtype", "float32", "--log_interval", "1",
+    "--coordinator_address", "127.0.0.1:" + port,
+    "--num_processes", "2", "--process_id", str(pid),
+]))
+print("WROTE", pid, res["output_dir"])
+"""
+
+_SHRINK_READER = """
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+out, ckpt = sys.argv[1], sys.argv[2]
+from cross_scale_mae_tpu.cli import pretrain
+res = pretrain.main(pretrain.get_args_parser().parse_args([
+    "--model", "mae_vit_tiny_MsLd", "--dataset_type", "synthetic",
+    "--synthetic_len", "64", "--input_size", "16", "--patch_size", "8",
+    "--batch_size", "32", "--epochs", "2", "--warmup_epochs", "0",
+    "--ckpt_interval", "2", "--output_dir", out, "--resume", ckpt,
+    "--compute_dtype", "float32", "--log_interval", "1",
+]))
+print("RESULT", res["steps"], float(res["last_metrics"]["loss"]))
+"""
+
+
+@pytest.mark.slow
+def test_checkpoint_restores_after_pod_shrink(tmp_path):
+    """Elastic topology: a checkpoint written COLLECTIVELY by 2 processes
+    (ZeRO-1 moments sharded across both hosts' devices) restores in a
+    single-process 8-device run, which trains exactly the remaining epoch.
+    The reference cannot change world size across a resume at all (DDP
+    state is replicated but the sampler/step accounting assumes the same
+    rank count)."""
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = ""
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _SHRINK_WRITER, str(pid),
+             str(tmp_path / "out"), port],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"writer {pid} failed:\n{out[-3000:]}"
+    run_dir = [ln.split()[-1] for ln in outs[0].splitlines()
+               if ln.startswith("WROTE")][-1]
+    ckpt = os.path.join(run_dir, "checkpoints")
+
+    reader = subprocess.run(
+        [sys.executable, "-c", _SHRINK_READER,
+         str(tmp_path / "out2"), ckpt],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert reader.returncode == 0, reader.stdout[-3000:] + reader.stderr[-2000:]
+    line = [ln for ln in reader.stdout.splitlines()
+            if ln.startswith("RESULT")][-1]
+    steps, loss = int(line.split()[1]), float(line.split()[2])
+    assert steps == 2  # epoch 0 skipped; only epoch 1 ran
+    assert np.isfinite(loss)
