@@ -19,6 +19,9 @@ def add_runtime_args(p: argparse.ArgumentParser):
     g.add_argument("--device_batch_dtype", default="bfloat16")
     g.add_argument("--model_parallel", default=1, type=int,
                    help="tensor-parallel mesh axis size (1 = pure DP)")
+    g.add_argument("--num_slices", default=1, type=int,
+                   help="multi-slice TPU: DCN slice count (data parallelism "
+                        "crosses DCN; the model axis stays on ICI)")
     g.add_argument("--coordinator_address", default=None,
                    help="multi-host: jax.distributed coordinator")
     g.add_argument("--num_processes", default=None, type=int)
@@ -85,7 +88,8 @@ def setup_runtime(args) -> dict[str, Any]:
     info = initialize_distributed(
         args.coordinator_address, args.num_processes, args.process_id
     )
-    mesh = make_mesh(model_parallel=args.model_parallel)
+    mesh = make_mesh(model_parallel=args.model_parallel,
+                     num_slices=getattr(args, "num_slices", 1))
     np.random.seed(args.seed + info["process_index"])
     return dict(mesh=mesh, **info)
 

@@ -28,12 +28,42 @@ Params = dict[str, Any]
 
 
 def make_mesh(
-    devices: Optional[list] = None, model_parallel: int = 1
+    devices: Optional[list] = None,
+    model_parallel: int = 1,
+    num_slices: int = 1,
 ) -> Mesh:
+    """('data', 'model') mesh over all devices.
+
+    Device ORDER inside the mesh decides which collective hops ride ICI vs
+    DCN (scaling-book recipe): on real TPU the layout comes from
+    ``mesh_utils.create_device_mesh`` (ICI-topology-aware ordering), and
+    for multi-slice jobs ``num_slices > 1`` uses
+    ``create_hybrid_device_mesh`` so the model axis stays inside a slice
+    (ICI) and only the data axis crosses DCN. Virtual/CPU device sets have
+    no topology metadata — they fall back to a plain reshape, which is
+    also the bit-stable layout the tests pin."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
-    assert n % model_parallel == 0, (n, model_parallel)
-    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    tp = model_parallel
+    assert n % (tp * num_slices) == 0, (n, tp, num_slices)
+    arr = None
+    if devices[0].platform == "tpu":
+        from jax.experimental import mesh_utils
+
+        try:
+            if num_slices > 1:
+                arr = mesh_utils.create_hybrid_device_mesh(
+                    (n // (tp * num_slices), tp), (num_slices, 1),
+                    devices=devices,
+                )
+            else:
+                arr = mesh_utils.create_device_mesh(
+                    (n // tp, tp), devices=devices
+                )
+        except Exception:
+            arr = None  # single chip / exotic topology: reshape below
+    if arr is None:
+        arr = np.asarray(devices).reshape(n // tp, tp)
     return Mesh(arr, ("data", "model"))
 
 

@@ -215,3 +215,16 @@ def test_checkpoint_restores_across_mesh_change(tiny_setup, tmp_path):
     batch_b = jax.device_put(imgs, batch_sharding(mesh_b))
     cont, m_b = step(restored, batch_b, jax.random.key(1))
     assert np.isfinite(float(m_b["loss"]))
+
+
+def test_make_mesh_shapes_and_slice_divisibility():
+    from cross_scale_mae_tpu.parallel import make_mesh
+
+    m = make_mesh(model_parallel=2)
+    assert m.devices.shape == (4, 2) and m.axis_names == ("data", "model")
+    # num_slices participates in divisibility checks even on the CPU
+    # fallback path (virtual devices carry no DCN topology).
+    m2 = make_mesh(model_parallel=2, num_slices=2)
+    assert m2.devices.shape == (4, 2)
+    with pytest.raises(AssertionError):
+        make_mesh(model_parallel=2, num_slices=3)
