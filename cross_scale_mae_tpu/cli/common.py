@@ -89,7 +89,7 @@ def setup_runtime(args) -> dict[str, Any]:
         args.coordinator_address, args.num_processes, args.process_id
     )
     mesh = make_mesh(model_parallel=args.model_parallel,
-                     num_slices=getattr(args, "num_slices", 1))
+                     num_slices=args.num_slices)
     np.random.seed(args.seed + info["process_index"])
     return dict(mesh=mesh, **info)
 

@@ -60,7 +60,14 @@ def make_mesh(
                 arr = mesh_utils.create_device_mesh(
                     (n // tp, tp), devices=devices
                 )
-        except Exception:
+        except Exception as e:
+            if num_slices > 1:
+                # An EXPLICIT multi-slice request must not silently degrade
+                # to a DCN-oblivious layout (large silent perf cliff).
+                raise ValueError(
+                    f"--num_slices {num_slices} could not build a hybrid "
+                    f"DCN x ICI mesh over {n} devices: {e}"
+                ) from e
             arr = None  # single chip / exotic topology: reshape below
     if arr is None:
         arr = np.asarray(devices).reshape(n // tp, tp)

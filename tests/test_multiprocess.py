@@ -361,14 +361,23 @@ def test_peer_death_detected_not_hung(tmp_path):
         )
         for pid in range(2)
     ]
-    out1 = procs[1].communicate(timeout=300)[0]
-    assert procs[1].returncode == 42  # the simulated crash
-    # Survivor must terminate on its own, with an error, within the
-    # detection window (default heartbeat timeout ~100 s + margin).
-    out0 = procs[0].communicate(timeout=300)[0]
-    assert procs[0].returncode not in (0, None), out0[-1500:]
-    assert "unhealthy" in out0 or "crashed" in out0.lower(), out0[-1500:]
-    assert out1 is not None
+    try:
+        procs[1].communicate(timeout=300)
+        assert procs[1].returncode == 42  # the simulated crash
+        # Survivor must terminate on its own, with an error, within the
+        # detection window (default heartbeat timeout ~100 s + margin).
+        # The nonzero exit is the contract; the message wording is JAX-
+        # internal and only loosely matched.
+        out0 = procs[0].communicate(timeout=300)[0]
+        assert procs[0].returncode not in (0, None), out0[-1500:]
+        low = out0.lower()
+        assert any(k in low for k in
+                   ("unhealthy", "crash", "heartbeat", "disconnect")), \
+            out0[-1500:]
+    finally:
+        for p in procs:  # never leak a hung survivor into the CI run
+            if p.poll() is None:
+                p.kill()
 
 
 _SHRINK_WRITER = """
