@@ -1,7 +1,7 @@
 # Build / test / bench entry points (reference Makefile manages a conda env
 # only; this one manages the native loader, tests, and benchmarks).
 
-.PHONY: all native test test-fast bench bench-all profile validate dryrun clean
+.PHONY: all native test test-fast bench bench-all perf-gate profile validate dryrun clean
 
 all: native
 
@@ -21,6 +21,9 @@ bench:
 
 bench-all:  # all five BASELINE.json configs (slow: several TPU compiles)
 	python benchmarks/all_configs.py
+
+perf-gate:  # fail if the flagship bench regresses below recorded floors
+	python benchmarks/check_regression.py
 
 profile:    # per-HLO-category profile of the flagship step
 	python benchmarks/profile_step.py

@@ -1,0 +1,66 @@
+"""Perf regression gate: fresh bench numbers vs benchmarks/expected.json.
+
+Runs the flagship bench (and optionally the five-config table with
+--all) and fails if any measured imgs/s/chip lands under its recorded
+floor (~8% below the round-2 numbers on this hardware). Keeps future
+rounds from silently losing the optimization work.
+
+Run: python benchmarks/check_regression.py [--all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true",
+                    help="also run the five-config table (slow)")
+    args = ap.parse_args()
+
+    with open(os.path.join(os.path.dirname(__file__), "expected.json")) as f:
+        expected = json.load(f)
+    floors = expected["floors"]
+
+    measured: dict[str, float] = {}
+    import bench
+
+    measured["pretrain_imgs_per_sec_per_chip_vitb_msldcecd_128px"] = (
+        bench.run_fused()
+    )
+    if args.all:
+        from all_configs import bench_classify, bench_pretrain
+
+        measured["baseline_vitb16_224px"] = bench_pretrain(
+            "baseline_vitb16_224px", "mae_vit_base", 224, 16, 64, 10
+        )["imgs_per_sec_per_chip"]
+        measured["msld_vitb16_128px"] = bench_pretrain(
+            "msld_vitb16_128px", "mae_vit_base_MsLd", 128, 16, 256, 10
+        )["imgs_per_sec_per_chip"]
+        measured["linprobe_vitb16_128px_lars"] = bench_classify(
+            "linprobe_vitb16_128px_lars", "vit_base_patch16", 128, 16, 1024,
+            10, linprobe=True
+        )["imgs_per_sec_per_chip"]
+
+    failed = []
+    for name, value in measured.items():
+        floor = floors.get(name)
+        status = "SKIP (no floor)" if floor is None else (
+            "OK" if value >= floor else "REGRESSION"
+        )
+        print(f"{name}: {value:.0f} imgs/s (floor {floor}) {status}")
+        if floor is not None and value < floor:
+            failed.append(name)
+    if failed:
+        raise SystemExit(f"perf regression in: {failed}")
+    print("no perf regressions")
+
+
+if __name__ == "__main__":
+    main()
