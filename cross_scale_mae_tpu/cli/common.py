@@ -78,16 +78,24 @@ def setup_runtime(args) -> dict[str, Any]:
     """Distributed init + mesh + per-host seeding. Returns context dict."""
     from cross_scale_mae_tpu.parallel import initialize_distributed, make_mesh
 
-    # Resolve the attention choice: --attention_impl wins, else map the
-    # reference-style --attention name (scaled_dot_product -> xla einsum).
-    if getattr(args, "attention_impl", None) is None:
-        args.attention_impl = {
-            "scaled_dot_product": "xla",
-        }.get(args.attention, args.attention)
-
     info = initialize_distributed(
         args.coordinator_address, args.num_processes, args.process_id
     )
+    # Resolve the attention choice AFTER distributed init (jax.devices()
+    # initializes the backend, which must not precede
+    # jax.distributed.initialize): --attention_impl wins, else the
+    # reference-style --attention name maps scaled_dot_product to the
+    # measured-fastest implementation for the backend — the v3 Pallas
+    # kernel on TPU (bench.py evidence), the XLA einsum elsewhere
+    # (CPU tests run the kernel only in interpret mode).
+    if getattr(args, "attention_impl", None) is None:
+        if args.attention == "scaled_dot_product":
+            import jax
+
+            on_tpu = jax.devices()[0].platform == "tpu"
+            args.attention_impl = "pallas_v3" if on_tpu else "xla"
+        else:
+            args.attention_impl = args.attention
     mesh = make_mesh(model_parallel=args.model_parallel,
                      num_slices=args.num_slices)
     np.random.seed(args.seed + info["process_index"])
