@@ -393,6 +393,12 @@ def main(args) -> dict:
             )
         if args.max_steps and total_steps >= args.max_steps:
             break
+    # Final-step NaN check: the previous-step abort fires at k+1, which
+    # never comes for the LAST step — without this a NaN final step would
+    # silently produce a NaN checkpoint + garbage eval (mirrors
+    # cli/pretrain.py's post-loop check).
+    if prev_loss is not None and not np.isfinite(float(prev_loss)):
+        raise FloatingPointError(f"Loss is {float(prev_loss)} at final step")
     logger.close()
     return {"max_acc": max_acc, "steps": total_steps, "output_dir": output_dir}
 

@@ -98,12 +98,12 @@ void bilinear_to_canvas(const uint8_t *src, int w, int h, int canvas,
   bilinear_to_canvas_c(src, w, h, 3, canvas, out);
 }
 
-// Decode a JPEG file into RGB and box-resample into out[h*w*3] (uint8).
-// Uses libjpeg's own DCT scaling (1/2, 1/4, 1/8) to decode near the target
-// size cheaply, then bilinear-resamples the remainder.
-bool decode_jpeg_to_canvas(const char *path, int canvas, uint8_t *out) {
-  FILE *f = fopen(path, "rb");
-  if (!f) return false;
+// Decode a JPEG (open FILE positioned at 0) into RGB and resample into
+// out[h*w*3] (uint8). Uses libjpeg's own DCT scaling (1/2, 1/4, 1/8) to
+// decode near the target size cheaply, then bilinear-resamples the rest.
+// Takes the FILE* from the magic-byte dispatch so the hot decode path
+// opens each image exactly once.
+bool decode_jpeg_to_canvas(FILE *f, int canvas, uint8_t *out) {
 
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
@@ -112,7 +112,6 @@ bool decode_jpeg_to_canvas(const char *path, int canvas, uint8_t *out) {
   std::vector<uint8_t> decoded;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
-    fclose(f);
     return false;
   }
   jpeg_create_decompress(&cinfo);
@@ -133,7 +132,6 @@ bool decode_jpeg_to_canvas(const char *path, int canvas, uint8_t *out) {
   if (c != 3) {
     jpeg_abort_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
-    fclose(f);
     return false;
   }
   decoded.resize((size_t)w * h * 3);
@@ -143,7 +141,6 @@ bool decode_jpeg_to_canvas(const char *path, int canvas, uint8_t *out) {
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
-  fclose(f);
 
   bilinear_to_canvas(decoded.data(), w, h, canvas, out);
   return true;
@@ -151,21 +148,15 @@ bool decode_jpeg_to_canvas(const char *path, int canvas, uint8_t *out) {
 
 // ------------------------------------------------------------- PNG decode
 
-// Decode a PNG into 8-bit RGB (palette expanded, gray promoted, alpha
-// stripped) and bilinear-resample to the canvas.
-bool decode_png_to_canvas(const char *path, int canvas, uint8_t *out) {
-  FILE *f = fopen(path, "rb");
-  if (!f) return false;
+// Decode a PNG (open FILE positioned at 0) into 8-bit RGB (palette
+// expanded, gray promoted, alpha stripped) and resample to the canvas.
+bool decode_png_to_canvas(FILE *f, int canvas, uint8_t *out) {
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
-  if (!png) {
-    fclose(f);
-    return false;
-  }
+  if (!png) return false;
   png_infop info = png_create_info_struct(png);
   if (!info || setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
-    fclose(f);
     return false;
   }
   png_init_io(png, f);
@@ -179,7 +170,6 @@ bool decode_png_to_canvas(const char *path, int canvas, uint8_t *out) {
   const int h = png_get_image_height(png, info);
   if ((int)png_get_channels(png, info) != 3) {
     png_destroy_read_struct(&png, &info, nullptr);
-    fclose(f);
     return false;
   }
   std::vector<uint8_t> decoded((size_t)w * h * 3);
@@ -187,7 +177,6 @@ bool decode_png_to_canvas(const char *path, int canvas, uint8_t *out) {
   for (int y = 0; y < h; ++y) rows[y] = decoded.data() + (size_t)y * w * 3;
   png_read_image(png, rows.data());
   png_destroy_read_struct(&png, &info, nullptr);
-  fclose(f);
   bilinear_to_canvas(decoded.data(), w, h, canvas, out);
   return true;
 }
@@ -368,21 +357,27 @@ bool decode_image_to_canvas_spec(const char *path, int canvas, int channels,
   FILE *f = fopen(path, "rb");
   if (!f) return false;
   size_t got = fread(magic, 1, 4, f);
-  fclose(f);
-  // TIFF: II*/MM* classic (42) or BigTIFF (43).
+  rewind(f);  // decoders consume the same handle (one open per image)
+  // TIFF: II*/MM* classic (42) or BigTIFF (43). libtiff manages its own
+  // handle, so the TIFF (multiband, cold-path) formats re-open by path.
   if (got >= 4 &&
       ((magic[0] == 'I' && magic[1] == 'I' &&
         (magic[2] == 42 || magic[2] == 43) && magic[3] == 0) ||
        (magic[0] == 'M' && magic[1] == 'M' && magic[2] == 0 &&
-        (magic[3] == 42 || magic[3] == 43))))
+        (magic[3] == 42 || magic[3] == 43)))) {
+    fclose(f);
     return decode_tiff_to_canvas(path, canvas, channels, spec, out);
-  if (channels != 3) return false;
-  if (got >= 2 && magic[0] == 0xFF && magic[1] == 0xD8)
-    return decode_jpeg_to_canvas(path, canvas, out);
-  if (got >= 4 && magic[0] == 0x89 && magic[1] == 'P' && magic[2] == 'N' &&
-      magic[3] == 'G')
-    return decode_png_to_canvas(path, canvas, out);
-  return false;
+  }
+  bool ok = false;
+  if (channels == 3) {
+    if (got >= 2 && magic[0] == 0xFF && magic[1] == 0xD8)
+      ok = decode_jpeg_to_canvas(f, canvas, out);
+    else if (got >= 4 && magic[0] == 0x89 && magic[1] == 'P' &&
+             magic[2] == 'N' && magic[3] == 'G')
+      ok = decode_png_to_canvas(f, canvas, out);
+  }
+  fclose(f);
+  return ok;
 }
 
 bool decode_image_to_canvas(const char *path, int canvas, uint8_t *out) {

@@ -265,7 +265,19 @@ def run_blocks(
 
 def _attention_flat(p: Params, xf: jnp.ndarray, n: int, l: int, num_heads: int,
                     impl: str) -> jnp.ndarray:
-    """Attention on a flattened (N*L, D) activation (see run_blocks_flat)."""
+    """Attention on a flattened (N*L, D) activation (see run_blocks_flat).
+
+    Only the 'xla' and 'pallas' implementations are wired on this
+    (non-default) path; anything else must fail loudly — silently
+    computing scaled-dot-product for, say, 'linformer' would train a
+    different model than requested (its projection params would sit
+    unused with zero gradient)."""
+    if impl not in ("xla", "pallas"):
+        raise NotImplementedError(
+            f"flat_blocks supports attention_impl 'xla' or 'pallas', got "
+            f"{impl!r} — use the default (non-flat) block path for variant "
+            f"attentions"
+        )
     d = xf.shape[-1]
     head_dim = d // num_heads
     qkv = linear(p["qkv"], xf).reshape(n, l, 3, num_heads, head_dim)

@@ -399,26 +399,31 @@ def _mha3_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, num_heads: int,
 def _group3_for(n: int, l: int, three_d: int, itemsize: int, bwd: bool) -> int:
     """Largest power-of-2 batch group whose double-buffered VMEM blocks fit
     the scoped-VMEM budget. Bigger groups mean more rows per head-matmul =>
-    better MXU utilization. The budget is env-dependent: 10 MB under the
-    compiler's default 16 MB scoped-VMEM limit, 12 MB when the package
+    better MXU utilization. The budget is env-dependent: 12 MB under the
+    compiler's default 16 MB scoped-VMEM limit, 15 MB when the package
     init raised the limit to >= 24 MB via LIBTPU_INIT_ARGS (which admits
     the decoder backward at G=16; the encoder's short L=17 blocks take
     G=32 either way)."""
     d = three_d // 3
-    per_item = (three_d + d + (d if bwd else 0)) * itemsize * l
-    # Budget: block buffers + kernel stack + whatever operands XLA keeps
-    # VMEM-resident (S(1)) must fit the compiler's scoped-VMEM limit. At
-    # the default 16 MB limit the safe budget is 10 MB (12 MB pushes the
-    # decoder backward to G=16, which fits standalone but OOMs by ~0.7 MB
-    # inside the full train step). The package init raises the limit to
-    # 24 MB via LIBTPU_INIT_ARGS, where 12 MB / G=16 measures 3% faster
-    # end-to-end (112.2 -> 108.7 ms flagship step).
+    # True per-item double-buffered block footprint: the forward reads qkv
+    # (3d wide) and writes attn-out (d) = 4d*l; the backward reads qkv (3d)
+    # + do (d) and WRITES dqkv (3d) = 7d*l. (An earlier version counted the
+    # backward output as d wide — a 40% undercount that the tuned budgets
+    # compensated for; formula and budgets are now consistent.)
+    per_item = (3 * d + d + (3 * d if bwd else 0)) * itemsize * l
+    # Budget = scoped-VMEM limit minus headroom for the kernel stack and
+    # operands XLA keeps VMEM-resident (S(1)) in the full program. 12 MB
+    # under the default 16 MB limit keeps the empirically validated groups
+    # (decoder bwd G=8 at 7.5 MB — G=16's 14.9 MB OOMs the full step there;
+    # encoder bwd G=32 at 11.7 MB fits). With the package-init raise to
+    # 24 MB, a 15 MB budget admits exactly the decoder backward at G=16
+    # (3% faster flagship step, 112.2 -> 108.7 ms) and nothing larger.
     import os
     import re
 
     m = re.search(r"xla_tpu_scoped_vmem_limit_kib=(\d+)",
                   os.environ.get("LIBTPU_INIT_ARGS", ""))
-    budget_mb = 12 if m and int(m.group(1)) >= 24576 else 10
+    budget_mb = 15 if m and int(m.group(1)) >= 24576 else 12
     group = 32
     while group > 1 and (n % group or 2 * group * per_item > budget_mb * 2 ** 20):
         group //= 2
@@ -622,17 +627,27 @@ def _iterative_pinv(s: jnp.ndarray, iters: int = 6) -> jnp.ndarray:
 
 
 def _segment_means(x: jnp.ndarray, m: int) -> jnp.ndarray:
-    """(N, L, H, hd) -> (N, m, H, hd) segment means along L (zero-padded to
-    a multiple of m; each segment divides by its true element count)."""
+    """(N, L, H, hd) -> (N, m, H, hd) segment means along L.
+
+    The remainder is DISTRIBUTED across segments (first ``l % m`` segments
+    get one extra row) so every landmark covers real tokens. The previous
+    uniform ceil(l/m)-sized scheme left the tail landmarks covering only
+    zero padding whenever l is just over m — e.g. L=65 with 64 landmarks
+    produced 31 zero landmarks, silently degrading the Nystrom
+    approximation at the flagship sequence lengths."""
     n, l, h, hd = x.shape
-    seg = -(-l // m)  # ceil
-    pad = seg * m - l
-    xp = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
-    sums = xp.reshape(n, m, seg, h, hd).sum(axis=2)
-    counts = jnp.clip(
-        jnp.minimum(l - jnp.arange(m) * seg, seg), 1, seg
-    ).astype(x.dtype)
-    return sums / counts[None, :, None, None]
+    base, rem = divmod(l, m)
+    # segment id per row: first `rem` segments have (base+1) rows
+    row = jnp.arange(l)
+    cut = rem * (base + 1)
+    seg_id = jnp.where(
+        row < cut,
+        row // max(base + 1, 1),
+        rem + jnp.where(base > 0, (row - cut) // max(base, 1), 0),
+    ).astype(jnp.int32)
+    counts = jnp.zeros((m,), x.dtype).at[seg_id].add(1.0)
+    sums = jnp.zeros((n, m, h, hd), x.dtype).at[:, seg_id].add(x)
+    return sums / jnp.clip(counts, 1.0, None)[None, :, None, None]
 
 
 def nystrom_mha(

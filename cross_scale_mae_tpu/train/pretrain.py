@@ -162,6 +162,11 @@ def make_pretrain_step_shard_map(
         new_state = state.apply_gradients(grads, new_model_state)
         metrics = dict(losses)
         metrics.update(loss=loss, grad_norm=gnorm, lr=schedule(state.step))
+        if tcfg.watch_gradients:
+            # wandb.watch equivalent — same per-subtree gradient norms as
+            # the gspmd step (grads are already pmean'd here).
+            for name, sub in grads.items():
+                metrics[f"gnorm/{name}"] = global_norm(sub)
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
