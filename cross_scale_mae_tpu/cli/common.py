@@ -119,6 +119,30 @@ def make_loader(args, dataset, batch_size, *, is_train=True, seed=0):
     )
 
 
+def restore_classifier_run(args, state):
+    """Shared --resume scaffold for finetune/linprobe (util/misc.py:382-411:
+    restore model+optimizer state, resume epoch, and the max-accuracy
+    tracker). Returns (state, start_epoch, max_acc)."""
+    start_epoch, max_acc = 0, 0.0
+    if args.resume:
+        from cross_scale_mae_tpu.utils.checkpoint import (
+            latest_step,
+            restore_checkpoint,
+        )
+        from cross_scale_mae_tpu.utils.logging import rank0_print
+
+        if latest_step(args.resume) is None:
+            raise FileNotFoundError(f"--resume: no checkpoints in {args.resume}")
+        state, meta = restore_checkpoint(args.resume, state)
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        max_acc = float(meta.get("max_acc", 0.0))
+        rank0_print(
+            f"resumed from {args.resume}: epoch {start_epoch}, "
+            f"max_acc {max_acc:.2f}%"
+        )
+    return state, start_epoch, max_acc
+
+
 def encode_run_name(**config: Any) -> str:
     """Config-encoded run identity (main_pretrain.py:450-463)."""
     return "-".join(f"{k}_{v}" for k, v in config.items() if v is not None)

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from cross_scale_mae_tpu.cli.common import (
+    restore_classifier_run,
     add_data_args,
     add_runtime_args,
     encode_run_name,
@@ -301,23 +302,7 @@ def main(args) -> dict:
 
     # Mid-run restore (util/misc.py:382-411: model+optimizer+epoch; the
     # reference wires --resume for all three entry points).
-    start_epoch = 0
-    max_acc = 0.0
-    if args.resume:
-        from cross_scale_mae_tpu.utils.checkpoint import (
-            latest_step,
-            restore_checkpoint,
-        )
-
-        if latest_step(args.resume) is None:
-            raise FileNotFoundError(f"--resume: no checkpoints in {args.resume}")
-        state, meta = restore_checkpoint(args.resume, state)
-        start_epoch = int(meta.get("epoch", 0)) + 1
-        max_acc = float(meta.get("max_acc", 0.0))
-        rank0_print(
-            f"resumed from {args.resume}: epoch {start_epoch}, "
-            f"max_acc {max_acc:.2f}%"
-        )
+    state, start_epoch, max_acc = restore_classifier_run(args, state)
 
     mean, std = train_ds.mean, train_ds.std
     augment = make_pretrain_augment(
