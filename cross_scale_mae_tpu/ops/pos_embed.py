@@ -43,13 +43,46 @@ def get_2d_sincos_pos_embed(
     return jnp.asarray(emb)
 
 
+def _torch_bicubic_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) 1-D resample matrix reproducing torch's
+    ``interpolate(mode='bicubic', align_corners=False)``: cubic-convolution
+    kernel with A=-0.75, half-pixel source centers, border-clamped taps.
+
+    jax.image.resize's bicubic uses the Keys kernel (A=-0.5), which differs
+    from torch by up to ~8% per element — enough to drift released-checkpoint
+    resolution transfer (util/pos_embed.py:117-122). Precomputing the exact
+    torch weights as a static matrix makes the resample two matmuls.
+    """
+    A = -0.75
+
+    def w(x):
+        x = abs(x)
+        if x <= 1.0:
+            return (A + 2.0) * x**3 - (A + 3.0) * x**2 + 1.0
+        if x < 2.0:
+            return A * x**3 - 5.0 * A * x**2 + 8.0 * A * x - 4.0 * A
+        return 0.0
+
+    scale = in_size / out_size
+    m = np.zeros((out_size, in_size), np.float64)
+    for o in range(out_size):
+        src = (o + 0.5) * scale - 0.5
+        i0 = int(np.floor(src))
+        t = src - i0
+        for k, dist in enumerate((1.0 + t, t, 1.0 - t, 2.0 - t)):
+            col = min(max(i0 - 1 + k, 0), in_size - 1)
+            m[o, col] += w(dist)
+    return m
+
+
 def interpolate_pos_embed(
     pos_embed: jnp.ndarray, new_grid_size: int, num_extra_tokens: int = 1
 ) -> jnp.ndarray:
     """Bicubic-resample grid position tokens to a new grid size.
 
     pos_embed: (1, T, D) or (T, D) with T = num_extra_tokens + old_grid².
-    Mirrors util/pos_embed.py:92-125 (extra tokens pass through unchanged).
+    Mirrors util/pos_embed.py:92-125 (extra tokens pass through unchanged),
+    bit-faithful to the torch bicubic resample (see _torch_bicubic_matrix).
     """
     squeeze = pos_embed.ndim == 2
     if squeeze:
@@ -60,10 +93,11 @@ def interpolate_pos_embed(
     if old_grid == new_grid_size:
         return pos_embed[0] if squeeze else pos_embed
     extra = pos_embed[:, :num_extra_tokens]
-    grid_tokens = pos_embed[:, num_extra_tokens:].reshape(1, old_grid, old_grid, d)
-    resized = jax.image.resize(
-        grid_tokens, (1, new_grid_size, new_grid_size, d), method="bicubic"
+    grid_tokens = pos_embed[:, num_extra_tokens:].reshape(old_grid, old_grid, d)
+    w = jnp.asarray(
+        _torch_bicubic_matrix(old_grid, new_grid_size), grid_tokens.dtype
     )
+    resized = jnp.einsum("oh,hwd,pw->opd", w, grid_tokens, w)
     out = jnp.concatenate(
         [extra, resized.reshape(1, new_grid_size * new_grid_size, d)], axis=1
     )
