@@ -71,21 +71,32 @@ def ssim(
     y = y.astype(jnp.float32)
     window = jnp.asarray(_gaussian_window(win_size, win_sigma))
     ssim_map, _ = _ssim_maps(x, y, window, data_range)
-    per_image = jnp.mean(ssim_map, axis=(1, 2, 3))
+    # pytorch_msssim reduces to per-channel means (N, C) and applies the
+    # nonnegative clamp per channel BEFORE averaging over channels — the
+    # order matters when channels straddle zero.
+    per_channel = jnp.mean(ssim_map, axis=(1, 2))
     if nonnegative_ssim:
-        per_image = jax.nn.relu(per_image)
-    return jnp.mean(per_image) if size_average else per_image
+        per_channel = jax.nn.relu(per_channel)
+    return (
+        jnp.mean(per_channel) if size_average else jnp.mean(per_channel, axis=1)
+    )
 
 
 def _avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
-    """2x average pooling with odd-size padding (pytorch_msssim downsample)."""
+    """2x average pooling, matching pytorch_msssim's downsample exactly:
+    ``F.avg_pool2d(kernel_size=2, padding=[s % 2 for s in shape])`` pads odd
+    dims with one zero on BOTH sides and divides by the full kernel area
+    (count_include_pad=True), so an odd dim's first window is (0, x[0]) and
+    its trailing pad row goes unused."""
     n, h, w, c = x.shape
     pad_h, pad_w = h % 2, w % 2
     if pad_h or pad_w:
-        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-        h, w = h + pad_h, w + pad_w
-    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
-    return jnp.mean(x, axis=(2, 4))
+        x = jnp.pad(x, ((0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0)))
+    hh = (h + 2 * pad_h) // 2 * 2
+    ww = (w + 2 * pad_w) // 2 * 2
+    x = x[:, :hh, :ww]
+    x = x.reshape(n, hh // 2, 2, ww // 2, 2, c)
+    return jnp.sum(x, axis=(2, 4)) / 4.0
 
 
 def ms_ssim(
@@ -107,16 +118,19 @@ def ms_ssim(
         f"image too small for {levels}-level ms-ssim: {x.shape}"
     )
     window = jnp.asarray(_gaussian_window(win_size, win_sigma))
+    # Per-channel (N, C) granularity throughout, as pytorch_msssim: the relu
+    # clamps and the cross-level product happen per channel, and only the
+    # final reduction averages channels.
     mcs = []
     ssim_val = None
     for level in range(levels):
         ssim_map, cs_map = _ssim_maps(x, y, window, data_range)
-        ssim_val = jnp.mean(ssim_map, axis=(1, 2, 3))
+        ssim_val = jnp.mean(ssim_map, axis=(1, 2))
         if level < levels - 1:
-            mcs.append(jax.nn.relu(jnp.mean(cs_map, axis=(1, 2, 3))))
+            mcs.append(jax.nn.relu(jnp.mean(cs_map, axis=(1, 2))))
             x, y = _avg_pool_2x(x), _avg_pool_2x(y)
     ssim_val = jax.nn.relu(ssim_val)  # forced non-negative, as pytorch_msssim
     w = jnp.asarray(weights, jnp.float32)
-    stacked = jnp.stack(mcs + [ssim_val], axis=0)  # (levels, N)
-    out = jnp.prod(stacked ** w[:, None], axis=0)
-    return jnp.mean(out) if size_average else out
+    stacked = jnp.stack(mcs + [ssim_val], axis=0)  # (levels, N, C)
+    out = jnp.prod(stacked ** w[:, None, None], axis=0)
+    return jnp.mean(out) if size_average else jnp.mean(out, axis=1)
