@@ -73,6 +73,10 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--consistent_mask", action="store_true")
     p.add_argument("--mask_seed", default=None, type=int)
     p.add_argument("--use_perceptual_loss", action="store_true")
+    p.add_argument("--vgg_weights", default=None,
+                   help="torchvision VGG16 .pth for the perceptual trunk; "
+                        "without it the trunk is random (documented in the "
+                        "run config as vgg_trunk)")
     p.add_argument("--apply_encoder_norm", action="store_true")
     # Optimization (main_pretrain.py:174-240)
     p.add_argument("--epochs", default=400, type=int)
@@ -182,6 +186,21 @@ def main(args) -> dict:
     params, mstate = mae_init(jax.random.key(args.seed), cfg)
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     rank0_print(f"model {args.model}: {n_params / 1e6:.1f}M params")
+    # Perceptual-trunk provenance: a run must record whether it trained
+    # against imported torchvision weights or the random trunk
+    # (losses/perceptual.py docstring contract).
+    vgg_trunk = "n/a"
+    if cfg.use_perceptual:
+        if args.vgg_weights:
+            from cross_scale_mae_tpu.losses.perceptual import (
+                load_torch_vgg16_features,
+            )
+
+            mstate["vgg"] = load_torch_vgg16_features(args.vgg_weights)
+            vgg_trunk = f"imported:{args.vgg_weights}"
+        else:
+            vgg_trunk = "random"
+        rank0_print(f"perceptual trunk: {vgg_trunk}")
     tx = build_optimizer(
         params, schedule, weight_decay=args.weight_decay,
         b1=tcfg.adam_b1, b2=tcfg.adam_b2, clip_grad=args.clip_grad,
@@ -228,7 +247,7 @@ def main(args) -> dict:
     output_dir = auto_output_dir(args.output_dir, run=run_name)
     logger = RunLogger(
         output_dir, args.use_tensorboard, args.use_wandb, args.wandb_project,
-        run_name, config=json.loads(cfg.to_json()),
+        run_name, config={**json.loads(cfg.to_json()), "vgg_trunk": vgg_trunk},
     )
     rank0_print(f"output dir: {output_dir}")
 

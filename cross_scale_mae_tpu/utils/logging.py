@@ -50,6 +50,12 @@ class RunLogger:
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
             self._jsonl = open(os.path.join(output_dir, "log.jsonl"), "a")
+            if config:
+                # Persist the resolved run config locally (the reference only
+                # embeds args in checkpoints, util/misc.py:358-379; wandb
+                # config alone is lost on offline runs).
+                with open(os.path.join(output_dir, "config.json"), "w") as f:
+                    json.dump(config, f, indent=2, default=str)
         if use_tensorboard and output_dir:
             try:
                 from torch.utils.tensorboard import SummaryWriter

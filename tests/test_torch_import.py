@@ -80,26 +80,28 @@ class TorchMAE(nn.Module):
     """Golden-model skeleton with reference checkpoint key names
     (MAE_ViT_Baseline.py param inventory)."""
 
-    def __init__(self):
+    def __init__(self, d=D, dd=DD, p=P, layers=LAYERS, dlayers=DLAYERS,
+                 heads=HEADS, dheads=None):
         super().__init__()
+        dheads = heads if dheads is None else dheads
 
         class PatchEmbed(nn.Module):
             def __init__(self):
                 super().__init__()
-                self.proj = nn.Conv2d(3, D, kernel_size=P, stride=P)
+                self.proj = nn.Conv2d(3, d, kernel_size=p, stride=p)
 
             def forward(self, x):
                 return self.proj(x).flatten(2).transpose(1, 2)
 
         self.patch_embed = PatchEmbed()
-        self.cls_token = nn.Parameter(torch.randn(1, 1, D) * 0.02)
-        self.mask_token = nn.Parameter(torch.randn(1, 1, DD) * 0.02)
-        self.encoder = nn.ModuleList([TorchBlock(D, HEADS) for _ in range(LAYERS)])
-        self.encoder_norm = nn.LayerNorm(D, eps=1e-6)
-        self.decoder_embed = nn.Linear(D, DD)
-        self.decoder = nn.ModuleList([TorchBlock(DD, HEADS) for _ in range(DLAYERS)])
-        self.decoder_norm = nn.LayerNorm(DD, eps=1e-6)
-        self.decoder_pred = nn.Linear(DD, P * P * 3)
+        self.cls_token = nn.Parameter(torch.randn(1, 1, d) * 0.02)
+        self.mask_token = nn.Parameter(torch.randn(1, 1, dd) * 0.02)
+        self.encoder = nn.ModuleList([TorchBlock(d, heads) for _ in range(layers)])
+        self.encoder_norm = nn.LayerNorm(d, eps=1e-6)
+        self.decoder_embed = nn.Linear(d, dd)
+        self.decoder = nn.ModuleList([TorchBlock(dd, dheads) for _ in range(dlayers)])
+        self.decoder_norm = nn.LayerNorm(dd, eps=1e-6)
+        self.decoder_pred = nn.Linear(dd, p * p * 3)
 
 
 @pytest.fixture(scope="module")
@@ -173,6 +175,45 @@ def test_full_forward_parity(golden, cfg):
         np.asarray(enc[:, 0]), ref_enc[:, 0], atol=2e-4
     )
     np.testing.assert_allclose(np.asarray(pred), ref_pred, atol=2e-4)
+
+
+def test_full_forward_parity_vitb(tmp_path):
+    """Same parity at REAL ViT-B widths (768x12 enc, 512x8 dec, patch 16,
+    base preset from models_mae/__init__.py:42-49): catches stride/reshape
+    bugs invisible at the 32-dim toy sizes above."""
+    from cross_scale_mae_tpu.ops.pos_embed import get_2d_sincos_pos_embed
+
+    torch.manual_seed(1)
+    model = TorchMAE(d=768, dd=512, p=16, layers=12, dlayers=8,
+                     heads=12, dheads=16).eval()
+    path = tmp_path / "checkpoint-vitb.pth"
+    torch.save({"model": model.state_dict(), "epoch": 0}, path)
+
+    s, p = 64, 16  # 4x4 grid keeps the torch CPU forward cheap
+    vcfg = get_mae_config(
+        "mae_vit_base", input_size=s, patch_size=p, mask_ratio=0.0,
+        compute_dtype="float32", gelu="exact",
+    )
+    params = import_mae_checkpoint(str(path), vcfg)
+
+    rng = np.random.default_rng(8)
+    imgs = rng.normal(size=(2, s, s, 3)).astype(np.float32)
+    enc_pos = torch.from_numpy(
+        np.asarray(get_2d_sincos_pos_embed(768, s // p, cls_token=True))
+    )[None].float()
+    dec_pos = torch.from_numpy(
+        np.asarray(get_2d_sincos_pos_embed(512, s // p, cls_token=True))
+    )[None].float()
+    ref_enc, ref_pred = _torch_reference_forward(
+        model, torch.from_numpy(imgs.transpose(0, 3, 1, 2)), enc_pos, dec_pos
+    )
+
+    enc, mask, ids_restore = mae_forward_encoder(
+        params, vcfg, jnp.asarray(imgs), rng=jax.random.key(0)
+    )
+    pred, dec = mae_forward_decoder(params, vcfg, enc, ids_restore)
+    np.testing.assert_allclose(np.asarray(enc[:, 0]), ref_enc[:, 0], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(pred), ref_pred, atol=2e-3)
 
 
 @pytest.mark.slow
