@@ -105,12 +105,34 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="shard_map = manual SPMD with reference per-device "
                         "DDP semantics (local NT-Xent negatives/BN stats); "
                         "required for pallas attention on multi-chip meshes")
+    p.add_argument("--reference_semantics", action="store_true",
+                   help="compose every parity default in one switch: "
+                        "--gelu exact (torch nn.GELU), --batch_crop (one "
+                        "shared crop box per batch, MAE_ViT_MsLd.py:29-35), "
+                        "--ddp_mode shard_map (per-device NT-Xent negatives "
+                        "and BN stats like DDP). Accuracy-parity claims vs "
+                        "the reference refer to this preset.")
     add_data_args(p, pretrain=True)
     add_runtime_args(p)
     return p
 
 
+def apply_reference_semantics(args) -> None:
+    """Resolve --reference_semantics into its component flags (in place).
+
+    One switch so real-data parity runs can't forget a piece: exact-erf GELU
+    (models/layers.py gelu='exact'), the reference's batch-shared crop box
+    (configs ms_per_sample_crop=False), and shard_map DDP (per-device
+    NT-Xent negatives / predictor-BN batch stats, MAE_ViT_MsLdCeCd.py:51-69).
+    """
+    if getattr(args, "reference_semantics", False):
+        args.gelu = "exact"
+        args.batch_crop = True
+        args.ddp_mode = "shard_map"
+
+
 def main(args) -> dict:
+    apply_reference_semantics(args)
     ctx = setup_runtime(args)
     mesh = ctx["mesh"]
     rank0_print(f"devices: {ctx['global_devices']} mesh: {dict(mesh.shape)}")
