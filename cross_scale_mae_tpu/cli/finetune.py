@@ -153,13 +153,6 @@ def evaluate(
 
     put = (lambda x: host_local_to_global(x, sharding)) \
         if sharding is not None else jnp.asarray
-    def local_rows(a):
-        """This host's rows of a batch-sharded global output, in feed order
-        (multi-host: np.asarray on a non-fully-addressable array raises)."""
-        shards = sorted(
-            a.addressable_shards, key=lambda s: s.index[0].start or 0
-        )
-        return np.concatenate([np.asarray(s.data) for s in shards])
 
     def run_batch(imgs, labels):
         n = len(labels)
@@ -175,10 +168,11 @@ def evaluate(
         valid = put(np.arange(bs) < n)
         out = eval_step(state.params, state.model_state, put(imgs),
                         put(labels_padded), valid)
-        if n:
-            # F1/mIoU confusion counts come from this host's own rows (the
-            # reference's sklearn F1 is likewise per-rank under DDP).
-            cm.update(local_rows(out["pred"])[:n], labels[:n])
+        # out["cm"] is the GLOBAL (C, C) count matrix for this collective
+        # batch (replicated across hosts), already valid-masked in-graph —
+        # so hosts must accumulate it even for their fully-padded sync
+        # batches, which carry other hosts' real rows.
+        cm.mat += np.asarray(out["cm"], np.float64).round().astype(np.int64)
         # loss/acc are GLOBAL valid-weighted means (replicated scalars);
         # weight by the global valid count. An all-invalid sync batch has
         # n_global == 0 batch-wide only if every host padded — guard nan.

@@ -140,11 +140,21 @@ def make_eval_step(cfg: ViTClassifierConfig, preprocess: Callable | None = None)
         _, topk = jax.lax.top_k(logits, k)
         correct1 = (top1 == labels).astype(jnp.float32)
         correctk = jnp.any(topk == labels[:, None], axis=1).astype(jnp.float32)
+        # In-graph GLOBAL confusion matrix (rows=true, cols=pred): the
+        # batch-dim contraction makes XLA insert the cross-device psum, so
+        # every host sees the full-batch counts — unlike the reference's
+        # per-rank sklearn F1 (engine_finetune.py:177-181, a defect to beat)
+        # and without reading batch-sharded rows host-side (whose sharding
+        # jit does not guarantee).
+        oh_true = jax.nn.one_hot(labels, cfg.num_classes, dtype=jnp.float32)
+        oh_pred = jax.nn.one_hot(top1, cfg.num_classes, dtype=jnp.float32)
+        cm = jnp.einsum("bt,bp->tp", oh_true * v[:, None], oh_pred)
         return dict(
             loss=jnp.sum(per_loss * v) / n,
             acc1=jnp.sum(correct1 * v) / n,
             acc5=jnp.sum(correctk * v) / n,
             n=jnp.sum(v),
+            cm=cm,
             pred=top1,
             logits=logits,
         )

@@ -110,7 +110,28 @@ args = finetune.get_args_parser().parse_args([
     "--num_processes", "2", "--process_id", str(pid),
 ])
 res = finetune.main(args)
-print("RESULT", pid, res["acc1"], res["loss"])
+print("RESULT", pid, res["acc1"], res["loss"], res["macro_f1"],
+      res["micro_f1"], res["miou"])
+"""
+
+_EVAL_DRIVER_SINGLE = """
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+out = sys.argv[1]
+from cross_scale_mae_tpu.cli import finetune
+args = finetune.get_args_parser().parse_args([
+    "--model", "vit_base_patch16", "--embed_dim", "64", "--depth", "2",
+    "--num_heads", "4", "--input_size", "16", "--patch_size", "8",
+    "--dataset_type", "synthetic", "--synthetic_len", "260",
+    "--nb_classes", "3", "--batch_size", "8", "--epochs", "1",
+    "--warmup_epochs", "0", "--output_dir", out, "--eval",
+    "--compute_dtype", "float32", "--log_interval", "1",
+])
+res = finetune.main(args)
+print("RESULT", 0, res["acc1"], res["loss"], res["macro_f1"],
+      res["micro_f1"], res["miou"])
 """
 
 
@@ -140,10 +161,26 @@ def test_two_process_eval_unequal_shards(tmp_path):
     results = {}
     for out in outs:
         line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][-1]
-        _, pid, acc1, loss = line.split()
-        results[int(pid)] = (float(acc1), float(loss))
+        _, pid, *vals = line.split()
+        results[int(pid)] = tuple(float(v) for v in vals)
+    # Both ranks agree on every global metric, including the F1/mIoU family
+    # (the in-graph confusion matrix is psum'd, not per-host like the
+    # reference's per-rank sklearn counts).
     np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
     assert np.isfinite(results[0][1])
+
+    # And the two-process global metrics equal a single-process run of the
+    # identical eval (same seed/model/dataset): the global confusion matrix
+    # must be exactly the union of both hosts' shards.
+    single = subprocess.run(
+        [sys.executable, "-c", _EVAL_DRIVER_SINGLE, str(tmp_path / "single")],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert single.returncode == 0, single.stdout + single.stderr
+    line = [ln for ln in single.stdout.splitlines()
+            if ln.startswith("RESULT")][-1]
+    single_vals = tuple(float(v) for v in line.split()[2:])
+    np.testing.assert_allclose(results[0], single_vals, rtol=1e-5, atol=1e-4)
 
 
 _SHARDMAP_RESUME_DRIVER = """
