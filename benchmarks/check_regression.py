@@ -22,11 +22,29 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true",
                     help="also run the five-config table (slow)")
+    ap.add_argument("--proxy", action="store_true",
+                    help="also re-measure the reference-semantics proxy and "
+                         "fail if it drifts outside proxy_band (the "
+                         "vs_ref_proxy denominator)")
     args = ap.parse_args()
 
     with open(os.path.join(os.path.dirname(__file__), "expected.json")) as f:
         expected = json.load(f)
     floors = expected["floors"]
+
+    # The floors were recorded on one specific setup; on any other chip
+    # kind/count they are meaningless (ADVICE r2: the gate would false-fail
+    # or pass with fake headroom). Skip cleanly instead.
+    import jax
+
+    kind, count = jax.devices()[0].device_kind, jax.device_count()
+    want_kind = expected.get("device_kind")
+    want_count = expected.get("device_count")
+    if want_kind and (kind != want_kind or count != want_count):
+        print(f"perf gate SKIP: hardware {kind!r} x{count} != recorded "
+              f"{want_kind!r} x{want_count} (expected.json); floors not "
+              f"comparable")
+        return
 
     measured: dict[str, float] = {}
     import bench
@@ -49,6 +67,14 @@ def main():
         )["imgs_per_sec_per_chip"]
 
     failed = []
+    if args.proxy:
+        lo, hi = expected["proxy_band"]["baseline_measured_proxy"]
+        proxy = bench.run_ref_proxy()
+        status = "OK" if lo <= proxy <= hi else "DRIFT"
+        print(f"baseline_measured_proxy: {proxy:.0f} imgs/s "
+              f"(band [{lo}, {hi}]) {status}")
+        if status == "DRIFT":
+            failed.append("baseline_measured_proxy")
     for name, value in measured.items():
         floor = floors.get(name)
         status = "SKIP (no floor)" if floor is None else (

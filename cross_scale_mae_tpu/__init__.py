@@ -33,20 +33,49 @@ import os as _os
 # the flagship step (112.2 -> 108.7 ms, bit-identical loss; see
 # docs/VALIDATION.md). libtpu snapshots LIBTPU_INIT_ARGS at first backend
 # initialization, so the mutation only happens while no backend is
-# initialized yet (ops/attention._group3_for keys its batch-group budget
-# off the env var, which must therefore reflect what libtpu actually
-# snapshotted). Opt out with CSMAE_NO_VMEM_OVERRIDE=1.
+# initialized yet. Opt out with CSMAE_NO_VMEM_OVERRIDE=1.
 _VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=24576"
-if not _os.environ.get("CSMAE_NO_VMEM_OVERRIDE"):
-    _args = _os.environ.get("LIBTPU_INIT_ARGS", "")
-    if "xla_tpu_scoped_vmem_limit_kib" not in _args:
-        try:
-            from jax._src import xla_bridge as _xb
 
-            _too_late = _xb.backends_are_initialized()
-        except Exception:
-            _too_late = True  # can't tell -> don't risk a budget mismatch
-        if not _too_late:
-            _os.environ["LIBTPU_INIT_ARGS"] = (_args + " " + _VMEM_FLAG).strip()
+
+def _parse_scoped_vmem_env() -> "int | None":
+    """A limit configured through EITHER env channel the compiler honors."""
+    import re as _re
+
+    for _var in ("LIBTPU_INIT_ARGS", "XLA_FLAGS"):
+        _m = _re.search(
+            r"xla_tpu_scoped_vmem_limit_kib=(\d+)",
+            _os.environ.get(_var, ""),
+        )
+        if _m:
+            return int(_m.group(1))
+    return None
+
+
+# This single module variable owns the effective limit; kernel batch-group
+# sizing (ops/attention._group3_for) reads it via scoped_vmem_limit_kib()
+# instead of re-parsing env strings (which misses XLA_FLAGS and the
+# too-late-to-raise case).
+_SCOPED_VMEM_LIMIT_KIB = 16384  # TPU compiler default
+
+_env_limit = _parse_scoped_vmem_env()
+if _env_limit is not None:
+    _SCOPED_VMEM_LIMIT_KIB = _env_limit
+elif not _os.environ.get("CSMAE_NO_VMEM_OVERRIDE"):
+    try:
+        from jax._src import xla_bridge as _xb
+
+        _too_late = _xb.backends_are_initialized()
+    except Exception:
+        _too_late = True  # can't tell -> don't risk a budget mismatch
+    if not _too_late:
+        _os.environ["LIBTPU_INIT_ARGS"] = (
+            _os.environ.get("LIBTPU_INIT_ARGS", "") + " " + _VMEM_FLAG
+        ).strip()
+        _SCOPED_VMEM_LIMIT_KIB = 24576
+
+
+def scoped_vmem_limit_kib() -> int:
+    """The scoped-VMEM limit the TPU compiler actually snapshotted (KiB)."""
+    return _SCOPED_VMEM_LIMIT_KIB
 
 from cross_scale_mae_tpu import configs  # noqa: F401

@@ -418,12 +418,9 @@ def _group3_for(n: int, l: int, three_d: int, itemsize: int, bwd: bool) -> int:
     # encoder bwd G=32 at 11.7 MB fits). With the package-init raise to
     # 24 MB, a 15 MB budget admits exactly the decoder backward at G=16
     # (3% faster flagship step, 112.2 -> 108.7 ms) and nothing larger.
-    import os
-    import re
+    from cross_scale_mae_tpu import scoped_vmem_limit_kib
 
-    m = re.search(r"xla_tpu_scoped_vmem_limit_kib=(\d+)",
-                  os.environ.get("LIBTPU_INIT_ARGS", ""))
-    budget_mb = 15 if m and int(m.group(1)) >= 24576 else 12
+    budget_mb = 15 if scoped_vmem_limit_kib() >= 24576 else 12
     group = 32
     while group > 1 and (n % group or 2 * group * per_item > budget_mb * 2 ** 20):
         group //= 2

@@ -35,7 +35,13 @@ def initialize_distributed(
         # configured platform WITHOUT touching jax.devices()/default_backend —
         # distributed.initialize must run before any backend initializes.
         platforms = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
-        if "cpu" in str(platforms):
+        # Empty/unset platform means JAX will auto-resolve — which lands on
+        # CPU when no accelerator is attached, the exact case that hangs in
+        # the first psum without gloo. Enable gloo unless a non-CPU platform
+        # is explicitly configured (on TPU/GPU platforms the setting is
+        # simply unused).
+        explicit_non_cpu = bool(platforms) and "cpu" not in str(platforms)
+        if not explicit_non_cpu:
             try:
                 jax.config.update("jax_cpu_collectives_implementation", "gloo")
             except Exception as e:
