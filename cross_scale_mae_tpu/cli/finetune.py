@@ -35,7 +35,10 @@ from cross_scale_mae_tpu.cli.common import (
 from cross_scale_mae_tpu.configs import TrainConfig, get_vit_config
 from cross_scale_mae_tpu.data import build_dataset
 from cross_scale_mae_tpu.models import vit_init
-from cross_scale_mae_tpu.ops.augment import make_eval_preprocess, make_pretrain_augment
+from cross_scale_mae_tpu.ops.augment import (
+    make_eval_preprocess,
+    make_finetune_augment,
+)
 from cross_scale_mae_tpu.parallel import batch_sharding, shard_train_state
 from cross_scale_mae_tpu.train import TrainState, build_optimizer, warmup_half_cosine
 from cross_scale_mae_tpu.train.classify import make_classify_train_step, make_eval_step
@@ -76,6 +79,20 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--cutmix", default=0.0, type=float)
     p.add_argument("--mixup_prob", default=1.0, type=float)
     p.add_argument("--mixup_switch_prob", default=0.5, type=float)
+    p.add_argument("--mixup_mode", default="batch",
+                   choices=["batch", "pair", "elem"],
+                   help="timm Mixup mode (main_finetune.py:264-269)")
+    p.add_argument("--color_jitter", default=None, type=float,
+                   help="ColorJitter factor; only when --aa is unset "
+                        "(main_finetune.py:190-195)")
+    p.add_argument("--aa", default=None,
+                   help="RandAugment policy, e.g. rand-m9-mstd0.5 "
+                        "(main_finetune.py:197-210; the reference declares "
+                        "but never consumes this — functional here)")
+    p.add_argument("--reprob", default=0.0, type=float,
+                   help="RandomErasing probability (main_finetune.py:212)")
+    p.add_argument("--remode", default="pixel", choices=["pixel", "const"])
+    p.add_argument("--recount", default=1, type=int)
     p.add_argument("--ckpt_interval", default=20, type=int)
     p.add_argument("--max_steps", default=None, type=int)
     p.add_argument("--unroll_blocks", action="store_true",
@@ -255,7 +272,8 @@ def main(args) -> dict:
         weight_decay=args.weight_decay, clip_grad=args.clip_grad,
         layer_decay=args.layer_decay, label_smoothing=args.smoothing,
         mixup=args.mixup, cutmix=args.cutmix, mixup_prob=args.mixup_prob,
-        mixup_switch_prob=args.mixup_switch_prob, seed=args.seed,
+        mixup_switch_prob=args.mixup_switch_prob,
+        mixup_mode=args.mixup_mode, seed=args.seed,
     )
 
     per_host_batch = args.batch_size // jax.process_count()
@@ -299,9 +317,11 @@ def main(args) -> dict:
     state, start_epoch, max_acc = restore_classifier_run(args, state)
 
     mean, std = train_ds.mean, train_ds.std
-    augment = make_pretrain_augment(
+    augment = make_finetune_augment(
         mean, std, args.input_size, normalize=train_ds.normalize_on_device,
         dtype=args.compute_dtype, rot90=(args.dataset_type == "naip"),
+        color_jitter=args.color_jitter, aa=args.aa,
+        reprob=args.reprob, remode=args.remode, recount=args.recount,
     )
     preprocess = make_eval_preprocess(
         mean, std, args.input_size, normalize=eval_ds.normalize_on_device,

@@ -54,6 +54,64 @@ def make_pretrain_augment(
     return augment
 
 
+def make_finetune_augment(
+    mean: Sequence[float],
+    std: Sequence[float],
+    input_size: int,
+    *,
+    scale: tuple[float, float] = (0.25, 1.0),
+    hflip: bool = True,
+    vflip: bool = True,
+    rot90: bool = False,
+    color_jitter: float | None = None,
+    aa: str | None = None,
+    reprob: float = 0.0,
+    remode: str = "pixel",
+    recount: int = 1,
+    method: str = "cubic",
+    normalize: bool = True,
+    dtype: str = "float32",
+) -> Callable[[jax.Array, jnp.ndarray], jnp.ndarray]:
+    """Finetune train chain with the full flag surface, fused on device.
+
+    Order follows timm's create_transform: RandomResizedCrop -> flips ->
+    RandAugment (or ColorJitter — like timm, AA disables jitter) on [0,1]
+    pixels -> Normalize -> RandomErasing on the normalized tensor. The
+    reference DECLARES these flags (main_finetune.py:188-232) but its
+    build_transform never consumes them — implemented functionally here
+    (match-or-fix, SURVEY.md §7). With none of the extras set this chain is
+    numerically the reference train transform (all its ops are linear and
+    commute with the normalize).
+    """
+    from cross_scale_mae_tpu.ops.randaug import (
+        color_jitter as jitter_fn,
+        parse_rand_augment,
+        rand_augment,
+        random_erasing,
+    )
+
+    ra_cfg = parse_rand_augment(aa)
+
+    def augment(rng: jax.Array, batch_u8: jnp.ndarray) -> jnp.ndarray:
+        k_flip, k_rot, k_crop, k_aa, k_erase = jax.random.split(rng, 5)
+        x = batch_u8.astype(jnp.float32) / 255.0
+        x = random_flips(k_flip, x, hflip, vflip)
+        if rot90:
+            x = random_rot90(k_rot, x)
+        x = random_resized_crop(k_crop, x, input_size, scale, method=method)
+        if ra_cfg is not None:
+            x = rand_augment(k_aa, x, ra_cfg)
+        elif color_jitter:
+            x = jitter_fn(k_aa, x, color_jitter)
+        if normalize:
+            x = normalize_images(x, mean, std)
+        if reprob > 0:
+            x = random_erasing(k_erase, x, reprob, mode=remode, count=recount)
+        return x.astype(jnp.dtype(dtype))
+
+    return augment
+
+
 def make_eval_preprocess(
     mean: Sequence[float],
     std: Sequence[float],

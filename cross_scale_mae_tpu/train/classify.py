@@ -52,7 +52,7 @@ def make_classify_train_step(
                 k_mix, imgs, labels, cfg.num_classes,
                 mixup_alpha=tcfg.mixup, cutmix_alpha=tcfg.cutmix,
                 prob=tcfg.mixup_prob, switch_prob=tcfg.mixup_switch_prob,
-                smoothing=tcfg.label_smoothing,
+                smoothing=tcfg.label_smoothing, mode=tcfg.mixup_mode,
             )
         else:
             targets = smooth_one_hot(labels, cfg.num_classes, tcfg.label_smoothing)
