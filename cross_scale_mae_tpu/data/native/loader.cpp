@@ -11,14 +11,15 @@
 //     fallback's numpy PCG64 shuffle (both are valid uniform shuffles; a run
 //     is reproducible within one loader backend, not across backends)
 //   * N pthread workers: libjpeg decode (DCT-domain 1/2^k prescale) ->
-//     bilinear resample to the fixed canvas (the Python fallback uses PIL
-//     bicubic — distributionally equivalent canvases, not bit-identical)
+//     PIL-parity bicubic resample to the fixed canvas (antialiased on
+//     downscale; within rounding of the Python PIL path)
 //   * a condition-variable ring of fully-assembled batches; the consumer
 //     (Python) blocks only when decode falls behind
 //
 // Exposed as a C ABI for ctypes (no pybind11 in the image).
 
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -57,35 +58,96 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-// Bilinear resample a C-channel HWC uint8 buffer to (canvas, canvas, C).
-void bilinear_to_canvas_c(const uint8_t *src, int w, int h, int channels,
-                          int canvas, uint8_t *out) {
+// PIL-parity cubic filter (Catmull-Rom, a = -0.5 — PIL's BICUBIC kernel).
+static inline float pil_cubic(float x) {
+  const float a = -0.5f;
+  x = x < 0 ? -x : x;
+  if (x < 1.0f) return ((a + 2.0f) * x - (a + 3.0f)) * x * x + 1.0f;
+  if (x < 2.0f) return (((x - 5.0f) * x + 8.0f) * x - 4.0f) * a;
+  return 0.0f;
+}
+
+// Per-axis resample coefficients, PIL semantics: half-pixel centers, filter
+// support scaled by the downscale factor (antialias), weights normalized.
+struct ResampleAxis {
+  std::vector<int> xmin;     // first source tap per output coord
+  std::vector<int> count;    // taps per output coord
+  std::vector<float> coeff;  // flat [out][max_count] weights
+  int max_count = 0;
+};
+
+static ResampleAxis build_axis(int in_size, int out_size) {
+  ResampleAxis ax;
+  const float scale = (float)in_size / out_size;
+  const float filterscale = scale < 1.0f ? 1.0f : scale;
+  const float support = 2.0f * filterscale;  // bicubic support = 2
+  ax.max_count = (int)ceilf(support) * 2 + 1;
+  ax.xmin.resize(out_size);
+  ax.count.resize(out_size);
+  ax.coeff.assign((size_t)out_size * ax.max_count, 0.0f);
+  for (int x = 0; x < out_size; ++x) {
+    const float center = (x + 0.5f) * scale;
+    int lo = (int)(center - support + 0.5f);
+    if (lo < 0) lo = 0;
+    int hi = (int)(center + support + 0.5f);
+    if (hi > in_size) hi = in_size;
+    float sum = 0.0f;
+    float *w = &ax.coeff[(size_t)x * ax.max_count];
+    for (int i = lo; i < hi; ++i) {
+      const float v = pil_cubic((i + 0.5f - center) / filterscale);
+      w[i - lo] = v;
+      sum += v;
+    }
+    if (sum != 0.0f)
+      for (int i = 0; i < hi - lo; ++i) w[i] /= sum;
+    ax.xmin[x] = lo;
+    ax.count[x] = hi - lo;
+  }
+  return ax;
+}
+
+// Bicubic resample a C-channel HWC uint8 buffer to (canvas, canvas, C) with
+// PIL.Image.resize(BICUBIC) semantics (separable two-pass, antialiased on
+// downscale) — the Python fallback path (_resize_uint8, data/datasets.py)
+// uses per-band PIL BICUBIC, so engaging the native loader keeps pixel
+// values within rounding of the Python pipeline at any tile size.
+void bicubic_to_canvas_c(const uint8_t *src, int w, int h, int channels,
+                         int canvas, uint8_t *out) {
   if (w == canvas && h == canvas) {
     memcpy(out, src, (size_t)canvas * canvas * channels);
     return;
   }
-  const float sx = (float)w / canvas, sy = (float)h / canvas;
-  for (int y = 0; y < canvas; ++y) {
-    float fy = (y + 0.5f) * sy - 0.5f;
-    int y0 = (int)fy;
-    if (fy < 0) { fy = 0; y0 = 0; }
-    int y1 = y0 + 1 < h ? y0 + 1 : h - 1;
-    float wy = fy - y0;
+  const ResampleAxis axx = build_axis(w, canvas);
+  const ResampleAxis axy = build_axis(h, canvas);
+  // Pass 1: horizontal, float intermediate (h rows x canvas cols).
+  std::vector<float> tmp((size_t)h * canvas * channels);
+  for (int y = 0; y < h; ++y) {
+    const uint8_t *row = &src[(size_t)y * w * channels];
     for (int x = 0; x < canvas; ++x) {
-      float fx = (x + 0.5f) * sx - 0.5f;
-      int x0 = (int)fx;
-      if (fx < 0) { fx = 0; x0 = 0; }
-      int x1 = x0 + 1 < w ? x0 + 1 : w - 1;
-      float wx = fx - x0;
-      const uint8_t *p00 = &src[((size_t)y0 * w + x0) * channels];
-      const uint8_t *p01 = &src[((size_t)y0 * w + x1) * channels];
-      const uint8_t *p10 = &src[((size_t)y1 * w + x0) * channels];
-      const uint8_t *p11 = &src[((size_t)y1 * w + x1) * channels];
+      const float *wts = &axx.coeff[(size_t)x * axx.max_count];
+      const int lo = axx.xmin[x], n = axx.count[x];
+      float *dst = &tmp[((size_t)y * canvas + x) * channels];
+      for (int c = 0; c < channels; ++c) {
+        float v = 0.0f;
+        for (int i = 0; i < n; ++i) v += row[(lo + i) * channels + c] * wts[i];
+        // PIL quantizes the horizontal pass to uint8 (clip8 in
+        // ImagingResampleHorizontal_8bpc); match it for parity.
+        v = v < 0.0f ? 0.0f : (v > 255.0f ? 255.0f : v);
+        dst[c] = floorf(v + 0.5f);
+      }
+    }
+  }
+  // Pass 2: vertical, round + clamp to uint8.
+  for (int y = 0; y < canvas; ++y) {
+    const float *wts = &axy.coeff[(size_t)y * axy.max_count];
+    const int lo = axy.xmin[y], n = axy.count[y];
+    for (int x = 0; x < canvas; ++x) {
       uint8_t *dst = &out[((size_t)y * canvas + x) * channels];
       for (int c = 0; c < channels; ++c) {
-        float v0 = p00[c] + (p01[c] - p00[c]) * wx;
-        float v1 = p10[c] + (p11[c] - p10[c]) * wx;
-        float v = v0 + (v1 - v0) * wy;
+        float v = 0.0f;
+        for (int i = 0; i < n; ++i)
+          v += tmp[((size_t)(lo + i) * canvas + x) * channels + c] * wts[i];
+        v = v < 0.0f ? 0.0f : (v > 255.0f ? 255.0f : v);
         dst[c] = (uint8_t)(v + 0.5f);
       }
     }
@@ -93,9 +155,9 @@ void bilinear_to_canvas_c(const uint8_t *src, int w, int h, int channels,
 }
 
 // RGB shim over the C-channel resampler (JPEG/PNG paths).
-void bilinear_to_canvas(const uint8_t *src, int w, int h, int canvas,
+void resample_to_canvas(const uint8_t *src, int w, int h, int canvas,
                         uint8_t *out) {
-  bilinear_to_canvas_c(src, w, h, 3, canvas, out);
+  bicubic_to_canvas_c(src, w, h, 3, canvas, out);
 }
 
 // Decode a JPEG (open FILE positioned at 0) into RGB and resample into
@@ -142,7 +204,7 @@ bool decode_jpeg_to_canvas(FILE *f, int canvas, uint8_t *out) {
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
 
-  bilinear_to_canvas(decoded.data(), w, h, canvas, out);
+  resample_to_canvas(decoded.data(), w, h, canvas, out);
   return true;
 }
 
@@ -177,7 +239,7 @@ bool decode_png_to_canvas(FILE *f, int canvas, uint8_t *out) {
   for (int y = 0; y < h; ++y) rows[y] = decoded.data() + (size_t)y * w * 3;
   png_read_image(png, rows.data());
   png_destroy_read_struct(&png, &info, nullptr);
-  bilinear_to_canvas(decoded.data(), w, h, canvas, out);
+  resample_to_canvas(decoded.data(), w, h, canvas, out);
   return true;
 }
 
@@ -345,7 +407,7 @@ bool decode_tiff_to_canvas(const char *path, int canvas, int out_channels,
       u8[i * out_channels + k] = (uint8_t)v;
     }
   }
-  bilinear_to_canvas_c(u8.data(), w, h, out_channels, canvas, out);
+  bicubic_to_canvas_c(u8.data(), w, h, out_channels, canvas, out);
   return true;
 }
 

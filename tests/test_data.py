@@ -130,10 +130,11 @@ class TestNative:
         assert out is not None and out.shape == (32, 32, 3)
         from PIL import Image
 
+        # Native resample is PIL-parity bicubic (ADVICE r2); only the JPEG
+        # DCT prescale path may differ slightly.
         ref = np.asarray(Image.open(path).convert("RGB").resize((32, 32),
-                                                                Image.BILINEAR))
-        # Different resample path; just require strong agreement.
-        assert np.mean(np.abs(out.astype(int) - ref.astype(int))) < 12
+                                                                Image.BICUBIC))
+        assert np.mean(np.abs(out.astype(int) - ref.astype(int))) < 4
 
     def test_native_loader_epoch(self, jpeg_dir):
         from cross_scale_mae_tpu.data.native import get_library
@@ -174,10 +175,14 @@ class TestNative:
         out = decode_jpeg(str(p), 48)  # dispatches on magic bytes
         assert out is not None
         np.testing.assert_array_equal(out, arr)
-        # Downscale sanity (pointwise bilinear vs PIL's area filter differ
-        # on noise; just require plausible content).
-        small = decode_jpeg(str(p), 32)
-        assert small.shape == (32, 32, 3) and small.std() > 20
+        # Lossless + PIL-parity bicubic resampler: within 1 LSB of
+        # PIL.resize(BICUBIC) at any scale (the shared resampler also serves
+        # the multiband TIFF path, so this pins its parity too).
+        for canvas in (32, 75):
+            got = decode_jpeg(str(p), canvas)
+            ref = np.asarray(Image.fromarray(arr).resize((canvas, canvas),
+                                                         Image.BICUBIC))
+            assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
         # gray robustness: L-mode PNG promotes to RGB
         gp = tmp_path / "gray.png"
         Image.fromarray(arr[..., 0]).save(gp)
