@@ -294,24 +294,21 @@ def test_gelu_checkpoint_compat():
     assert ViTClassifierConfig.from_json(json.dumps(vd)).gelu == "exact"
 
 
-def test_vmem_budget_tracks_env(monkeypatch):
-    """ops/attention._group3_for and the package-init env mutation must stay
-    in sync: the 12 MB batch-group budget (decoder bwd G=16) is only legal
-    when the scoped-VMEM limit was actually raised via LIBTPU_INIT_ARGS."""
+def test_vmem_budget_tracks_limit(monkeypatch):
+    """ops/attention._group3_for and the package-owned scoped-VMEM limit
+    must stay in sync: the 15 MB batch-group budget (decoder bwd G=16) is
+    only legal when the limit was actually raised. Round 3 centralized the
+    limit in cross_scale_mae_tpu._SCOPED_VMEM_LIMIT_KIB (ADVICE r2) — the
+    budget keys off the recorded limit, not a re-parse of the env."""
+    import cross_scale_mae_tpu as pkg
     from cross_scale_mae_tpu.ops.attention import _group3_for
 
     # decoder backward shape: (512, 65, 3*512) bf16
     args = (512, 65, 3 * 512, 2)
-    monkeypatch.delenv("LIBTPU_INIT_ARGS", raising=False)
+    monkeypatch.setattr(pkg, "_SCOPED_VMEM_LIMIT_KIB", 16384)
     assert _group3_for(*args, bwd=True) == 8  # default 16 MB limit
-    monkeypatch.setenv(
-        "LIBTPU_INIT_ARGS", "--xla_tpu_scoped_vmem_limit_kib=24576"
-    )
+    monkeypatch.setattr(pkg, "_SCOPED_VMEM_LIMIT_KIB", 24576)
     assert _group3_for(*args, bwd=True) == 16  # raised limit
-    monkeypatch.setenv(
-        "LIBTPU_INIT_ARGS", "--xla_tpu_scoped_vmem_limit_kib=16384"
-    )
-    assert _group3_for(*args, bwd=True) == 8  # explicit default-size limit
     # encoder fwd is G=32 under either budget
-    monkeypatch.delenv("LIBTPU_INIT_ARGS", raising=False)
+    monkeypatch.setattr(pkg, "_SCOPED_VMEM_LIMIT_KIB", 16384)
     assert _group3_for(512, 17, 3 * 768, 2, bwd=False) == 32
