@@ -17,9 +17,9 @@ TPU design notes:
   the train step.
 * The affine resample is a vmapped bilinear ``map_coordinates`` (order=1,
   gray fill), fine at finetune resolutions (64-128 px).
-* Op pool = timm's `rand` policy minus Equalize (per-channel histogram
-  equalization needs 256-bin LUTs per sample — poor XLA fit for its
-  accuracy contribution; documented omission).
+* Op pool = timm's full `rand` policy including Equalize (histogram +
+  LUT-apply expressed as chunked 256-bin comparisons — scatter/gather-free,
+  see _equalize).
 """
 
 from __future__ import annotations
@@ -119,8 +119,47 @@ def _autocontrast(x, m, sign):
     return jnp.where(hi > lo, (x - lo) / jnp.maximum(hi - lo, 1e-6), x)
 
 
+def _equalize(x, m, sign):
+    """PIL ImageOps.equalize semantics, branchless on TPU.
+
+    Histogram + LUT-apply are both expressed as chunked 256-bin comparisons
+    (scatter/gather-free): hist[b] = sum(x_u8 == b) and
+    y = sum_b lut[b] * (x_u8 == b), 32 bins at a time to bound the
+    materialized compare tensor. PIL's LUT: step = (npix - hist[255]) // 255;
+    lut[i] = (cumsum(hist)[:i] + step // 2) // step, identity when step==0.
+    """
+    del m, sign
+    n, h, w, c = x.shape
+    xu = jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.int32)
+    px = xu.reshape(n, h * w, c)
+    chunk = 32
+    hist_parts = []
+    for b0 in range(0, 256, chunk):
+        bins = jnp.arange(b0, b0 + chunk, dtype=jnp.int32)
+        eq = px[:, :, :, None] == bins  # (N, P, C, chunk) bool
+        hist_parts.append(jnp.sum(eq, axis=1, dtype=jnp.float32))
+    hist = jnp.concatenate(hist_parts, axis=-1)  # (N, C, 256)
+    npix = float(h * w)
+    step = jnp.floor((npix - hist[..., 255]) / 255.0)  # (N, C)
+    cum = jnp.cumsum(hist, axis=-1) - hist  # exclusive prefix sum
+    lut = jnp.floor(
+        (cum + jnp.floor(step / 2.0)[..., None])
+        / jnp.maximum(step, 1.0)[..., None]
+    )
+    lut = jnp.clip(lut, 0, 255)
+    ident = jnp.arange(256, dtype=jnp.float32)
+    lut = jnp.where((step > 0)[..., None], lut, ident)
+    y = jnp.zeros_like(px, dtype=jnp.float32)
+    for b0 in range(0, 256, chunk):
+        bins = jnp.arange(b0, b0 + chunk, dtype=jnp.int32)
+        eq = (px[:, :, :, None] == bins).astype(jnp.float32)
+        y = y + jnp.einsum("npcb,ncb->npc", eq, lut[:, :, b0:b0 + chunk])
+    return (y / 255.0).reshape(n, h, w, c).astype(x.dtype)
+
+
 _PIXEL_OPS = (
     ("autocontrast", _autocontrast),
+    ("equalize", _equalize),
     ("invert", _invert),
     ("posterize", _posterize),
     ("solarize", _solarize),

@@ -69,6 +69,21 @@ def test_posterize_quantizes():
     assert len(np.unique(np.round(out * 255))) <= 16 + 1
 
 
+def test_equalize_matches_pil():
+    from PIL import Image, ImageOps
+
+    from cross_scale_mae_tpu.ops.randaug import _equalize
+
+    rng = np.random.default_rng(3)
+    arr = (rng.normal(0.5, 0.08, (2, 32, 32, 3)).clip(0, 1) * 255).astype(
+        np.uint8)
+    got = np.asarray(_equalize(
+        jnp.asarray(arr / 255.0, jnp.float32), None, None)) * 255
+    ref = np.stack([np.asarray(ImageOps.equalize(Image.fromarray(a)))
+                    for a in arr])
+    np.testing.assert_array_equal(got.round(), ref.astype(float))
+
+
 def test_autocontrast_stretches_to_full_range():
     x = _imgs() * 0.4 + 0.3  # squeeze into [0.3, 0.7]
     out = np.asarray(_autocontrast(x, jnp.zeros((4,)), jnp.ones((4,))))
