@@ -34,13 +34,18 @@ def main():
 
     # The floors were recorded on one specific setup; on any other chip
     # kind/count they are meaningless (ADVICE r2: the gate would false-fail
-    # or pass with fake headroom). Skip cleanly instead.
+    # or pass with fake headroom). Skip cleanly instead. IMPORTANT: import
+    # the package BEFORE touching jax.devices() — backend init freezes
+    # LIBTPU_INIT_ARGS, and the package init must get its scoped-VMEM raise
+    # in first or the gate measures a slower config than ships.
+    import cross_scale_mae_tpu  # noqa: F401  (env mutation side effect)
     import jax
 
     kind, count = jax.devices()[0].device_kind, jax.device_count()
     want_kind = expected.get("device_kind")
     want_count = expected.get("device_count")
-    if want_kind and (kind != want_kind or count != want_count):
+    if (want_kind is not None and want_count is not None
+            and (kind != want_kind or count != want_count)):
         print(f"perf gate SKIP: hardware {kind!r} x{count} != recorded "
               f"{want_kind!r} x{want_count} (expected.json); floors not "
               f"comparable")

@@ -212,6 +212,12 @@ def main(args) -> dict:
     # against imported torchvision weights or the random trunk
     # (losses/perceptual.py docstring contract).
     vgg_trunk = "n/a"
+    if args.vgg_weights and not cfg.use_perceptual:
+        raise SystemExit(
+            "--vgg_weights given without --use_perceptual_loss: the trunk "
+            "would be loaded for nothing — add --use_perceptual_loss or "
+            "drop --vgg_weights"
+        )
     if cfg.use_perceptual:
         if args.vgg_weights:
             from cross_scale_mae_tpu.losses.perceptual import (

@@ -74,9 +74,11 @@ def make_finetune_augment(
 ) -> Callable[[jax.Array, jnp.ndarray], jnp.ndarray]:
     """Finetune train chain with the full flag surface, fused on device.
 
-    Order follows timm's create_transform: RandomResizedCrop -> flips ->
-    RandAugment (or ColorJitter — like timm, AA disables jitter) on [0,1]
-    pixels -> Normalize -> RandomErasing on the normalized tensor. The
+    Order: flips -> RandomResizedCrop -> RandAugment (or ColorJitter —
+    like timm, AA disables jitter) on [0,1] pixels -> Normalize ->
+    RandomErasing on the normalized tensor. (timm's create_transform puts
+    the crop before the flips; the two commute distributionally and this
+    order keeps the pretrain chain's RNG draw sequence.) The
     reference DECLARES these flags (main_finetune.py:188-232) but its
     build_transform never consumes them — implemented functionally here
     (match-or-fix, SURVEY.md §7). With none of the extras set this chain is

@@ -89,7 +89,11 @@ def _sharpness(x, m, sign):
 
 def _posterize(x, m, sign):
     del sign  # timm posterize has no sign
-    bits = jnp.clip(jnp.round(8.0 - 4.0 * m), 1, 8)  # (N,)
+    # timm PosterizeIncreasing ('inc1' policy, the reference finetune
+    # default): bits kept = 4 - floor(4*m), i.e. 4 bits at m=0 down to
+    # (clamped) 1 bit at m=1 — matching the other ops here, which also
+    # implement the increasing-severity variants.
+    bits = jnp.clip(4.0 - jnp.floor(4.0 * m), 1, 8)  # (N,)
     levels = 2.0 ** bits  # keep top `bits` bits of the 8-bit value
     q = jnp.floor(x * 255.0 / (256.0 / levels)[:, None, None, None])
     return jnp.clip(q * (256.0 / levels)[:, None, None, None] / 255.0, 0.0, 1.0)
@@ -236,13 +240,17 @@ class RandAugmentConfig(NamedTuple):
 def parse_rand_augment(spec: str | None) -> RandAugmentConfig | None:
     """Parse a timm-style policy string: 'rand-m9-mstd0.5[-n2][-inc1]'.
 
-    ``inc`` (increasing-severity mapping) is accepted and ignored — the op
-    magnitude ranges above already increase monotonically with m."""
+    ``inc`` is accepted as a no-op because the op pool already implements
+    the increasing-severity mappings (see note below)."""
     if not spec:
         return None
     if not spec.startswith("rand"):
         raise ValueError(f"only 'rand-*' auto-augment policies supported, "
                          f"got {spec!r}")
+    # Op magnitude mappings implement timm's INCREASING-severity variants
+    # (Posterize/Solarize/Color/Contrast/Brightness/Sharpness-Increasing) —
+    # i.e. the '-inc1' policy, which is the reference finetune default
+    # (main_finetune.py:197-205: 'rand-m9-mstd0.5-inc1').
     cfg = RandAugmentConfig()
     for tok in spec.split("-")[1:]:
         if m := re.fullmatch(r"m(\d+)", tok):
@@ -266,7 +274,8 @@ def rand_augment(
     h, w = imgs.shape[1], imgs.shape[2]
     x = imgs
     for layer in range(cfg.num_layers):
-        k_op, k_mag, k_sign = jax.random.split(jax.random.fold_in(rng, layer), 3)
+        k_op, k_mag, k_sign, k_apply = jax.random.split(
+            jax.random.fold_in(rng, layer), 4)
         op_idx = jax.random.randint(k_op, (n,), 0, NUM_OPS)
         m = jnp.clip(
             cfg.magnitude + cfg.mag_std * jax.random.normal(k_mag, (n,)),
@@ -280,7 +289,12 @@ def rand_augment(
             out = jnp.where(sel, fn(x, m, sign), out)
         is_geom = (op_idx >= len(_PIXEL_OPS))[:, None, None, None]
         geo = _affine_sample(x, *_affine_params(op_idx, m, sign, h, w))
-        x = jnp.where(is_geom, geo, out)
+        transformed = jnp.where(is_geom, geo, out)
+        # timm's rand policy applies each selected op with prob 0.5
+        # (AugmentOp prob=0.5) — without this the recipe is ~2x stronger
+        # than the flag names.
+        apply = jax.random.bernoulli(k_apply, 0.5, (n,))[:, None, None, None]
+        x = jnp.where(apply, transformed, x)
     return x
 
 
@@ -330,10 +344,12 @@ def random_erasing(
     assert mode in ("pixel", "const"), mode
     n, h, w, c = imgs.shape
     x = imgs
+    # timm draws the erase decision ONCE per image, then erases all `count`
+    # rectangles on the selected images (not an independent coin per box).
+    apply = jax.random.bernoulli(jax.random.fold_in(rng, count), prob, (n,))
     for r in range(count):
         k = jax.random.fold_in(rng, r)
-        k_apply, k_area, k_aspect, k_y, k_x, k_noise = jax.random.split(k, 6)
-        apply = jax.random.bernoulli(k_apply, prob, (n,))
+        _, k_area, k_aspect, k_y, k_x, k_noise = jax.random.split(k, 6)
         area = jax.random.uniform(
             k_area, (n,), minval=area_range[0], maxval=area_range[1]
         ) * (h * w)

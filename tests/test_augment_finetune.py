@@ -133,6 +133,26 @@ def test_rand_augment_changes_pixels_and_stays_in_range():
     np.testing.assert_array_equal(out_np, np.asarray(out2))
 
 
+def test_rand_augment_applies_each_layer_with_prob_half():
+    """timm's rand policy wraps every op in AugmentOp(prob=0.5): with 2
+    layers ~25% of samples should pass through untouched (plus identity-op
+    mass); always-apply would leave <5% unchanged."""
+    x = _imgs(n=256, h=16, w=16)
+    out = np.asarray(rand_augment(jax.random.key(11), x, RandAugmentConfig()))
+    unchanged = (np.abs(out - np.asarray(x)).max(axis=(1, 2, 3)) < 1e-6)
+    assert 0.15 <= unchanged.mean() <= 0.55
+
+
+def test_random_erasing_single_per_image_decision():
+    """timm draws the erase decision once per image, then erases all
+    `count` boxes on selected images — not an independent coin per box."""
+    x = _imgs(n=400, h=16, w=16)
+    out = np.asarray(random_erasing(jax.random.key(12), x, prob=0.25, count=3))
+    erased = (np.abs(out - np.asarray(x)) > 1e-6).any(axis=(1, 2, 3))
+    # per-box coins would give ~1 - 0.75^3 = 0.58
+    assert 0.15 <= erased.mean() <= 0.35
+
+
 # ------------------------------------------------------------ color jitter
 
 
