@@ -1,0 +1,71 @@
+"""Serving-export CLI: checkpoint -> StableHLO artifact -> reload parity.
+
+The reference has no serving path at all (SURVEY.md §3.4); this pins the
+TPU-native one: exported modules must roundtrip through serialize/
+deserialize and reproduce the in-process encoder on raw uint8 input, for
+both baked-weights and sidecar-params forms, plus the polymorphic-batch
+variant.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    from cross_scale_mae_tpu.cli import pretrain
+
+    out = str(tmp_path_factory.mktemp("export") / "pt")
+    args = pretrain.get_args_parser().parse_args([
+        "--model", "mae_vit_tiny", "--dataset_type", "synthetic",
+        "--synthetic_len", "32", "--input_size", "16", "--patch_size", "8",
+        "--batch_size", "16", "--epochs", "1", "--warmup_epochs", "0",
+        "--ckpt_interval", "1", "--output_dir", out,
+        "--compute_dtype", "float32", "--log_interval", "2",
+    ])
+    res = pretrain.main(args)
+    return os.path.join(res["output_dir"], "checkpoints")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["baked", "sidecar", "symbolic"])
+def test_export_roundtrip(tiny_ckpt, tmp_path, mode):
+    from cross_scale_mae_tpu.cli import export as export_cli
+
+    out = str(tmp_path / f"enc_{mode}.stablehlo")
+    argv = ["--ckpt", tiny_ckpt, "--output", out, "--pool", "mean",
+            "--batch_size", "4"]
+    if mode == "sidecar":
+        argv.append("--no_bake_weights")
+    if mode == "symbolic":
+        argv.append("--symbolic_batch")
+    meta = export_cli.main(export_cli.get_args_parser().parse_args(argv))
+    # main() already asserts reload-vs-inprocess parity; check artifacts.
+    assert os.path.exists(out) and meta["bytes"] > 0
+    assert os.path.exists(out + ".json")
+    if mode == "sidecar":
+        sidecar = np.load(out + ".params.npz")
+        assert len(sidecar.files) > 5
+
+
+@pytest.mark.slow
+def test_symbolic_batch_serves_multiple_sizes(tiny_ckpt, tmp_path):
+    from jax import export as jexport
+
+    import jax.numpy as jnp
+
+    from cross_scale_mae_tpu.cli import export as export_cli
+
+    out = str(tmp_path / "poly.stablehlo")
+    export_cli.main(export_cli.get_args_parser().parse_args([
+        "--ckpt", tiny_ckpt, "--output", out, "--symbolic_batch",
+    ]))
+    reloaded = jexport.deserialize(open(out, "rb").read())
+    rng = np.random.default_rng(1)
+    for b in (1, 3, 8):
+        imgs = rng.integers(0, 256, (b, 16, 16, 3), np.uint8)
+        feats = reloaded.call(jnp.asarray(imgs))
+        assert np.asarray(feats).shape[0] == b
+        assert np.isfinite(np.asarray(feats)).all()
