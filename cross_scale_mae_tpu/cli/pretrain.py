@@ -126,6 +126,13 @@ def apply_reference_semantics(args) -> None:
     NT-Xent negatives / predictor-BN batch stats, MAE_ViT_MsLdCeCd.py:51-69).
     """
     if getattr(args, "reference_semantics", False):
+        if getattr(args, "model_parallel", 1) > 1 or getattr(args, "zero1", False):
+            raise SystemExit(
+                "--reference_semantics forces --ddp_mode shard_map (pure "
+                "data-parallel, per-device NT-Xent/BN like DDP) and is "
+                "incompatible with --model_parallel/--zero1 — the reference "
+                "has no TP/ZeRO to be faithful to"
+            )
         args.gelu = "exact"
         args.batch_crop = True
         args.ddp_mode = "shard_map"

@@ -38,6 +38,13 @@ def test_preset_off_keeps_tpu_defaults():
     assert args.ddp_mode == "gspmd"
 
 
+def test_preset_rejects_model_parallel():
+    with pytest.raises(SystemExit, match="reference_semantics"):
+        _parse(["--reference_semantics", "--model_parallel", "2"])
+    with pytest.raises(SystemExit, match="reference_semantics"):
+        _parse(["--reference_semantics", "--zero1"])
+
+
 def test_preset_resolves_into_model_config():
     from cross_scale_mae_tpu.configs import get_mae_config
 
