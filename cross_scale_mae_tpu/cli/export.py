@@ -138,8 +138,11 @@ def main(args) -> dict:
     else:
         got = reloaded.call(jnp.asarray(imgs))
     want = forward(params, jnp.asarray(imgs))
+    # bf16 compute: the reloaded module and the freshly-jitted forward may
+    # fuse differently, so agreement is only to bf16 resolution (~8e-3).
+    tol = 1e-4 if cfg.compute_dtype == "float32" else 3e-2
     np.testing.assert_allclose(
-        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+        np.asarray(got), np.asarray(want), rtol=tol, atol=tol
     )
 
     meta = {
