@@ -53,6 +53,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--patch_size", default=8, type=int)    # finetune.sh:8
     p.add_argument("--global_pool", action="store_true", default=True)
     p.add_argument("--cls_token_pool", action="store_false", dest="global_pool")
+    p.add_argument("--cls_token", action="store_false", dest="global_pool",
+                   help="classify from the cls token (reference flag name, "
+                        "main_finetune.py:276-279)")
     p.add_argument("--drop_path", default=0.1, type=float)
     p.add_argument("--finetune", default="",
                    help="pretrained MAE: orbax ckpt dir, .pth, or .npz")
@@ -79,6 +82,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--cutmix", default=0.0, type=float)
     p.add_argument("--mixup_prob", default=1.0, type=float)
     p.add_argument("--mixup_switch_prob", default=0.5, type=float)
+    p.add_argument("--cutmix_minmax", default=None, type=float, nargs=2,
+                   help="min/max cut fraction; overrides --cutmix alpha and "
+                        "enables cutmix (main_finetune.py:240-249)")
     p.add_argument("--mixup_mode", default="batch",
                    choices=["batch", "pair", "elem"],
                    help="timm Mixup mode (main_finetune.py:264-269)")
@@ -273,7 +279,10 @@ def main(args) -> dict:
         layer_decay=args.layer_decay, label_smoothing=args.smoothing,
         mixup=args.mixup, cutmix=args.cutmix, mixup_prob=args.mixup_prob,
         mixup_switch_prob=args.mixup_switch_prob,
-        mixup_mode=args.mixup_mode, seed=args.seed,
+        mixup_mode=args.mixup_mode,
+        cutmix_minmax=(tuple(args.cutmix_minmax)
+                       if args.cutmix_minmax else None),
+        seed=args.seed,
     )
 
     per_host_batch = args.batch_size // jax.process_count()

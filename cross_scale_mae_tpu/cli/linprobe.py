@@ -48,6 +48,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--input_size", default=128, type=int)  # linprobe.sh:8
     p.add_argument("--patch_size", default=16, type=int)
     p.add_argument("--global_pool", action="store_true", default=False)
+    p.add_argument("--cls_token", action="store_false", dest="global_pool",
+                   help="classify from the cls token (reference flag name; "
+                        "the linprobe default)")
     p.add_argument("--finetune", default="")
     p.add_argument("--eval", action="store_true")
     p.add_argument("--embed_dim", default=None, type=int)

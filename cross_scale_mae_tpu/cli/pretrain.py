@@ -92,6 +92,10 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt_interval", default=25, type=int)
     p.add_argument("--plot_recon", action="store_true",
                    help="save reconstruction plots at checkpoint epochs")
+    p.add_argument("--val_img_path", default=None,
+                   help="image file or directory to reconstruct at each "
+                        "checkpoint epoch (main_pretrain.py:590-626); "
+                        "default: the first dataset sample")
     p.add_argument("--max_steps", default=None, type=int,
                    help="hard step cap (smoke tests)")
     p.add_argument("--unroll_blocks", action="store_true",
@@ -374,7 +378,8 @@ def main(args) -> dict:
             )
             if args.plot_recon:
                 _plot_epoch_recon(
-                    state, cfg, dataset, mean, std, output_dir, epoch
+                    state, cfg, dataset, mean, std, output_dir, epoch,
+                    val_img_path=args.val_img_path,
                 )
         if stop_requested["flag"]:
             rank0_print("preemption checkpoint written; exiting")
@@ -393,8 +398,12 @@ def main(args) -> dict:
             "output_dir": output_dir}
 
 
-def _plot_epoch_recon(state, cfg, dataset, mean, std, output_dir, epoch):
-    """Per-checkpoint reconstruction plots (main_pretrain.py:590-626)."""
+def _plot_epoch_recon(state, cfg, dataset, mean, std, output_dir, epoch,
+                      val_img_path=None):
+    """Per-checkpoint reconstruction plots (main_pretrain.py:590-626).
+
+    ``val_img_path`` (file or directory) reproduces the reference's
+    user-chosen validation images; otherwise the first dataset sample."""
     import jax
 
     from cross_scale_mae_tpu.ops.image import normalize_images
@@ -402,20 +411,43 @@ def _plot_epoch_recon(state, cfg, dataset, mean, std, output_dir, epoch):
 
     if jax.process_index() != 0:
         return
-    img, _ = dataset.load(0)
-    x = jnp.asarray(img.astype(np.float32) / 255.0)
-    if dataset.normalize_on_device:
-        x = normalize_images(x, mean, std)
-    if x.shape[0] != cfg.input_size:
-        from cross_scale_mae_tpu.ops.image import center_crop_resize
 
-        x = center_crop_resize(x[None], cfg.input_size)[0]
-    result = run_one_image(state.params, cfg, x[None], jax.random.key(0))
-    plot_reconstruction(
-        result,
-        os.path.join(output_dir, "reconstructions", f"epoch_{epoch:04d}.png"),
-        mean, std, title=f"epoch {epoch} loss {result['loss']:.4f}",
-    )
+    def load_file(path):
+        from PIL import Image
+
+        arr = np.asarray(Image.open(path).convert("RGB"))
+        return arr, os.path.splitext(os.path.basename(path))[0]
+
+    sources = []
+    if val_img_path:
+        if os.path.isdir(val_img_path):
+            names = sorted(
+                f for f in os.listdir(val_img_path)
+                if f.lower().endswith((".jpg", ".jpeg", ".png"))
+            )
+            sources = [load_file(os.path.join(val_img_path, f)) for f in names]
+        else:
+            sources = [load_file(val_img_path)]
+    if not sources:
+        img, _ = dataset.load(0)
+        sources = [(img, "")]
+
+    for img, tag in sources:
+        x = jnp.asarray(img.astype(np.float32) / 255.0)
+        if dataset.normalize_on_device:
+            x = normalize_images(x, mean, std)
+        if x.shape[0] != cfg.input_size:
+            from cross_scale_mae_tpu.ops.image import center_crop_resize
+
+            x = center_crop_resize(x[None], cfg.input_size)[0]
+        result = run_one_image(state.params, cfg, x[None], jax.random.key(0))
+        suffix = f"_{tag}" if tag else ""
+        plot_reconstruction(
+            result,
+            os.path.join(output_dir, "reconstructions",
+                         f"epoch_{epoch:04d}{suffix}.png"),
+            mean, std, title=f"epoch {epoch} loss {result['loss']:.4f}",
+        )
 
 
 if __name__ == "__main__":

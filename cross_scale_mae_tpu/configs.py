@@ -301,6 +301,7 @@ class TrainConfig:
     mixup_prob: float = 1.0
     mixup_switch_prob: float = 0.5
     mixup_mode: str = "batch"        # "batch" | "pair" | "elem" (main_finetune.py:264)
+    cutmix_minmax: "tuple[float, float] | None" = None  # overrides cutmix alpha (main_finetune.py:240)
     seed: int = 0
     log_interval: int = 20
     ckpt_interval_epochs: int = 25   # main_pretrain.py:579

@@ -41,7 +41,8 @@ def make_classify_train_step(
     microbatch, matching accum_iter separate reference iterations.
     """
 
-    use_mix = tcfg.mixup > 0 or tcfg.cutmix > 0
+    use_mix = (tcfg.mixup > 0 or tcfg.cutmix > 0
+               or tcfg.cutmix_minmax is not None)
 
     def loss_fn(params, model_state, imgs, labels, rng):
         k_aug, k_mix, k_model = jax.random.split(rng, 3)
@@ -53,6 +54,7 @@ def make_classify_train_step(
                 mixup_alpha=tcfg.mixup, cutmix_alpha=tcfg.cutmix,
                 prob=tcfg.mixup_prob, switch_prob=tcfg.mixup_switch_prob,
                 smoothing=tcfg.label_smoothing, mode=tcfg.mixup_mode,
+                cutmix_minmax=tcfg.cutmix_minmax,
             )
         else:
             targets = smooth_one_hot(labels, cfg.num_classes, tcfg.label_smoothing)

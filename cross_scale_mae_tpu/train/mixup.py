@@ -46,17 +46,32 @@ def _beta(rng: jax.Array, alpha: float, shape: tuple = ()) -> jnp.ndarray:
 
 
 def _cutmix_mask(
-    rng: jax.Array, n: int, h: int, w: int, lam: jnp.ndarray
+    rng: jax.Array, n: int, h: int, w: int, lam: jnp.ndarray,
+    minmax: tuple[float, float] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-sample rectangle masks (N, H, W) with area ratio ~ (1-lam) each,
-    plus the area-corrected lam (timm correct_lam=True). lam: (N,)."""
-    cut = jnp.sqrt(1.0 - lam)  # (N,)
-    ch, cw = cut * h, cut * w
-    ky, kx = jax.random.split(rng)
-    cy = jax.random.uniform(ky, (n,)) * h
-    cx = jax.random.uniform(kx, (n,)) * w
-    y0, y1 = jnp.clip(cy - ch / 2, 0, h), jnp.clip(cy + ch / 2, 0, h)
-    x0, x1 = jnp.clip(cx - cw / 2, 0, w), jnp.clip(cx + cw / 2, 0, w)
+    plus the area-corrected lam (timm correct_lam=True). lam: (N,).
+
+    With ``minmax`` (timm cutmix_minmax / rand_bbox_minmax): cut height and
+    width fractions are drawn INDEPENDENTLY uniform in [min, max] and the
+    box is placed fully inside the image; ``lam`` is ignored."""
+    if minmax is not None:
+        kh, kw, ky, kx = jax.random.split(rng, 4)
+        ch = jax.random.uniform(kh, (n,), minval=minmax[0],
+                                maxval=minmax[1]) * h
+        cw = jax.random.uniform(kw, (n,), minval=minmax[0],
+                                maxval=minmax[1]) * w
+        y0 = jax.random.uniform(ky, (n,)) * (h - ch)
+        x0 = jax.random.uniform(kx, (n,)) * (w - cw)
+        y1, x1 = y0 + ch, x0 + cw
+    else:
+        cut = jnp.sqrt(1.0 - lam)  # (N,)
+        ch, cw = cut * h, cut * w
+        ky, kx = jax.random.split(rng)
+        cy = jax.random.uniform(ky, (n,)) * h
+        cx = jax.random.uniform(kx, (n,)) * w
+        y0, y1 = jnp.clip(cy - ch / 2, 0, h), jnp.clip(cy + ch / 2, 0, h)
+        x0, x1 = jnp.clip(cx - cw / 2, 0, w), jnp.clip(cx + cw / 2, 0, w)
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)[None]
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)[None]
     inside = (
@@ -85,6 +100,7 @@ def mixup_cutmix(
     switch_prob: float = 0.5,
     smoothing: float = 0.1,
     mode: str = "batch",
+    cutmix_minmax: tuple[float, float] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (mixed_imgs, soft_targets). imgs: NHWC; labels: (N,) ints.
 
@@ -100,6 +116,10 @@ def mixup_cutmix(
     n, h, w, _ = imgs.shape
     k_apply, k_switch, k_lam, k_box = jax.random.split(rng, 4)
     targets = smooth_one_hot(labels, num_classes, smoothing)
+    if cutmix_minmax is not None:
+        # timm: an explicit min/max cut-fraction range overrides the beta
+        # draw and force-enables cutmix (Mixup.__init__).
+        cutmix_alpha = 1.0
     if mixup_alpha <= 0 and cutmix_alpha <= 0:
         return imgs, targets
     if mode == "pair":
@@ -135,17 +155,19 @@ def mixup_cutmix(
     # Boxes: per-element, with pair/batch modes sharing coordinates the same
     # way they share lambdas (mirror/broadcast the center draws).
     if mode == "batch":
-        box, lam_cut = _cutmix_mask(k_box, 1, h, w, lam_cut_raw[:1])
+        box, lam_cut = _cutmix_mask(k_box, 1, h, w, lam_cut_raw[:1],
+                                    minmax=cutmix_minmax)
         box = jnp.broadcast_to(box, (n, h, w))
         lam_cut = jnp.broadcast_to(lam_cut, (n,))
     elif mode == "pair":
         box_half, lam_half = _cutmix_mask(
-            k_box, n // 2, h, w, lam_cut_raw[: n // 2]
+            k_box, n // 2, h, w, lam_cut_raw[: n // 2], minmax=cutmix_minmax
         )
         box = jnp.concatenate([box_half, box_half[::-1]])
         lam_cut = jnp.concatenate([lam_half, lam_half[::-1]])
     else:
-        box, lam_cut = _cutmix_mask(k_box, n, h, w, lam_cut_raw)
+        box, lam_cut = _cutmix_mask(k_box, n, h, w, lam_cut_raw,
+                                    minmax=cutmix_minmax)
 
     cutmix_imgs = jnp.where(box[..., None], flipped_imgs, imgs)
     lam = jnp.where(use_cutmix, lam_cut, lam_mix)

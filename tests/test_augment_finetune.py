@@ -235,6 +235,27 @@ def test_cutmix_modes_targets_match_patch_area(mode):
     np.testing.assert_allclose(replaced, 1.0 - lam, atol=2e-2)
 
 
+def test_cutmix_minmax_overrides_alpha():
+    """timm cutmix_minmax: cut fractions drawn uniform in [min, max] per
+    axis, box fully inside; enables cutmix even with alpha 0."""
+    n, c, h = 64, 16, 32
+    labels = jnp.arange(n) % c
+    imgs = jnp.broadcast_to((jnp.arange(n) / n)[:, None, None, None],
+                            (n, h, h, 3))
+    mixed, targets = mixup_cutmix(
+        jax.random.key(9), imgs, labels, c,
+        mixup_alpha=0.0, cutmix_alpha=0.0, cutmix_minmax=(0.3, 0.6),
+        smoothing=0.0, mode="elem",
+    )
+    lam = _recover_lams(targets, labels, c)
+    replaced = (np.abs(np.asarray(mixed) - np.asarray(imgs)) > 1e-6).any(
+        axis=-1).mean(axis=(1, 2))
+    # whole-pixel box vs continuous lam: boundary quantization ~2/32 px
+    np.testing.assert_allclose(replaced, 1.0 - lam, atol=4e-2)
+    # area fraction = fh*fw with fh, fw ~ U[0.3, 0.6] -> within [0.09, 0.36]
+    assert (replaced >= 0.07).all() and (replaced <= 0.38).all()
+
+
 def test_mixup_pair_requires_even_batch():
     with pytest.raises(AssertionError):
         mixup_cutmix(

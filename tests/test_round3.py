@@ -113,6 +113,37 @@ def test_perf_gate_skips_on_wrong_hardware(tmp_path):
     assert "SKIP: hardware" in out.stdout
 
 
+@pytest.mark.slow
+def test_pretrain_val_img_path_recon_plots(tmp_path):
+    """--val_img_path: user-chosen validation images drive the per-epoch
+    reconstruction plots (main_pretrain.py:590-626)."""
+    from PIL import Image
+
+    from cross_scale_mae_tpu.cli import pretrain
+
+    imgdir = tmp_path / "val_imgs"
+    imgdir.mkdir()
+    rng = np.random.default_rng(0)
+    for name in ("a", "b"):
+        Image.fromarray(
+            rng.integers(0, 256, (20, 20, 3), np.uint8)
+        ).save(imgdir / f"{name}.png")
+
+    out = str(tmp_path / "pt")
+    args = pretrain.get_args_parser().parse_args([
+        "--model", "mae_vit_tiny", "--dataset_type", "synthetic",
+        "--synthetic_len", "32", "--input_size", "16", "--patch_size", "8",
+        "--batch_size", "16", "--epochs", "1", "--warmup_epochs", "0",
+        "--ckpt_interval", "1", "--output_dir", out,
+        "--compute_dtype", "float32", "--log_interval", "2",
+        "--plot_recon", "--val_img_path", str(imgdir),
+    ])
+    res = pretrain.main(args)
+    recon = os.path.join(res["output_dir"], "reconstructions")
+    files = sorted(os.listdir(recon))
+    assert files == ["epoch_0000_a.png", "epoch_0000_b.png"]
+
+
 def test_expected_json_has_proxy_band():
     with open(os.path.join(REPO, "benchmarks", "expected.json")) as f:
         expected = json.load(f)
