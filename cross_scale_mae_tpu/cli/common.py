@@ -29,6 +29,8 @@ def add_runtime_args(p: argparse.ArgumentParser):
     g.add_argument("--use_tensorboard", action="store_true")
     g.add_argument("--use_wandb", action="store_true")
     g.add_argument("--wandb_project", default="cross_scale_mae_tpu")
+    g.add_argument("--wandb_entity", default=None,
+                   help="wandb team/entity (main_pretrain.py wandb flags)")
     g.add_argument("--log_interval", default=20, type=int)
     g.add_argument(
         "--attention_impl", default=None,

@@ -100,6 +100,10 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--remode", default="pixel", choices=["pixel", "const"])
     p.add_argument("--recount", default=1, type=int)
     p.add_argument("--ckpt_interval", default=20, type=int)
+    p.add_argument("--save_every", dest="ckpt_interval", type=int,
+                   default=argparse.SUPPRESS,
+                   help="reference alias for --ckpt_interval "
+                        "(main_finetune.py --save_every)")
     p.add_argument("--max_steps", default=None, type=int)
     p.add_argument("--unroll_blocks", action="store_true",
                    help="unrolled layer loop (faster steps, slower compile)")
@@ -355,7 +359,8 @@ def main(args) -> dict:
     # +N anti-clobber suffix (main_pretrain.py:471-491)
     output_dir = auto_output_dir(args.output_dir, run=run_name)
     logger = RunLogger(output_dir, args.use_tensorboard, args.use_wandb,
-                       args.wandb_project, run_name)
+                       args.wandb_project, run_name,
+                       wandb_entity=args.wandb_entity)
 
     from cross_scale_mae_tpu.data.loader import device_prefetch
 

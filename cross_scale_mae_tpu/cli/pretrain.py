@@ -287,6 +287,7 @@ def main(args) -> dict:
     logger = RunLogger(
         output_dir, args.use_tensorboard, args.use_wandb, args.wandb_project,
         run_name, config={**json.loads(cfg.to_json()), "vgg_trunk": vgg_trunk},
+        wandb_entity=args.wandb_entity,
     )
     rank0_print(f"output dir: {output_dir}")
 

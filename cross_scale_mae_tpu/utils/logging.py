@@ -37,6 +37,7 @@ class RunLogger:
         wandb_project: str = "cross_scale_mae_tpu",
         run_name: Optional[str] = None,
         config: Optional[dict] = None,
+        wandb_entity: Optional[str] = None,
     ):
         import jax
 
@@ -68,7 +69,8 @@ class RunLogger:
                 import wandb
 
                 self._wandb = wandb
-                wandb.init(project=wandb_project, name=run_name, config=config or {})
+                wandb.init(project=wandb_project, entity=wandb_entity,
+                           name=run_name, config=config or {})
             except ImportError:
                 rank0_print("wandb unavailable; skipping wandb logging")
 
