@@ -88,6 +88,171 @@ def _torch_masked_forward(model, imgs_nchw, noise, enc_pos, dec_pos, len_keep):
     return (per_patch * mask).sum() / mask.sum()
 
 
+class TorchViT(torch.nn.Module):
+    """Classifier twin with timm-convention parameter NAMES so the
+    reference's util/lr_decay.param_groups_lrd assigns the same layer ids
+    our layer_decay_scales does (get_layer_id_for_vit, lr_decay.py:63-75)."""
+
+    def __init__(self, d, depth, heads, num_classes, num_tokens, patch_dim):
+        super().__init__()
+        import torch.nn as nn
+
+        self.patch_embed = nn.Linear(patch_dim, d)
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, d))
+        self.pos_embed = nn.Parameter(torch.zeros(1, num_tokens, d))
+        self.blocks = torch.nn.ModuleList(
+            [TorchMAE(d=d, heads=heads, layers=1).encoder[0]
+             for _ in range(depth)]
+        )
+        self.fc_norm = nn.LayerNorm(d, eps=1e-6)
+        self.head = nn.Linear(d, num_classes)
+
+    def no_weight_decay(self):
+        return {"pos_embed", "cls_token"}
+
+    def forward(self, patches):
+        x = self.patch_embed(patches)
+        cls = self.cls_token.expand(x.shape[0], -1, -1)
+        x = torch.cat([cls, x], dim=1) + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x)
+        feat = self.fc_norm(x[:, 1:, :].mean(dim=1))
+        return self.head(feat)
+
+
+def _copy_jax_to_torch_vit(params, model, depth):
+    import numpy as _np
+
+    def t(x):
+        return torch.from_numpy(_np.asarray(x).copy())
+
+    with torch.no_grad():
+        model.patch_embed.weight.copy_(t(params["patch_embed"]["kernel"]).T)
+        model.patch_embed.bias.copy_(t(params["patch_embed"]["bias"]))
+        model.cls_token.copy_(t(params["cls_token"]))
+        model.pos_embed.copy_(t(params["pos_embed"]))
+        model.fc_norm.weight.copy_(t(params["fc_norm"]["scale"]))
+        model.fc_norm.bias.copy_(t(params["fc_norm"]["bias"]))
+        model.head.weight.copy_(t(params["head"]["kernel"]).T)
+        model.head.bias.copy_(t(params["head"]["bias"]))
+        b = params["blocks"]
+        for i in range(depth):
+            blk = model.blocks[i]
+            blk.norm1.weight.copy_(t(b["norm1"]["scale"][i]))
+            blk.norm1.bias.copy_(t(b["norm1"]["bias"][i]))
+            blk.attn.qkv.weight.copy_(t(b["attn"]["qkv"]["kernel"][i]).T)
+            blk.attn.qkv.bias.copy_(t(b["attn"]["qkv"]["bias"][i]))
+            blk.attn.proj.weight.copy_(t(b["attn"]["proj"]["kernel"][i]).T)
+            blk.attn.proj.bias.copy_(t(b["attn"]["proj"]["bias"][i]))
+            blk.norm2.weight.copy_(t(b["norm2"]["scale"][i]))
+            blk.norm2.bias.copy_(t(b["norm2"]["bias"][i]))
+            blk.mlp.fc1.weight.copy_(t(b["mlp"]["fc1"]["kernel"][i]).T)
+            blk.mlp.fc1.bias.copy_(t(b["mlp"]["fc1"]["bias"][i]))
+            blk.mlp.fc2.weight.copy_(t(b["mlp"]["fc2"]["kernel"][i]).T)
+            blk.mlp.fc2.bias.copy_(t(b["mlp"]["fc2"]["bias"][i]))
+
+
+@pytest.mark.slow
+def test_ten_step_classifier_training_equivalence(tmp_path):
+    """The finetune recipe in lockstep: label-smoothed soft CE +
+    layer-wise-lr-decay AdamW(0.9, 0.999) with timm wd exclusions. The
+    torch side's param groups come from the REFERENCE's own
+    util/lr_decay.param_groups_lrd and its lr from util/lr_sched."""
+    import optax
+
+    from cross_scale_mae_tpu.configs import get_vit_config
+    from cross_scale_mae_tpu.models import vit_init
+    from cross_scale_mae_tpu.models.vit import vit_apply
+    from cross_scale_mae_tpu.ops.patchify import patchify
+    from cross_scale_mae_tpu.train.mixup import (
+        smooth_one_hot,
+        soft_cross_entropy,
+    )
+    from cross_scale_mae_tpu.train.optim import build_optimizer
+    from cross_scale_mae_tpu.train.schedule import warmup_half_cosine
+    from tests.test_reference_parity import REF, _load_ref
+
+    if not REF.exists():
+        pytest.skip("reference not mounted")
+    ref_lrd = _load_ref("util/lr_decay.py", "_ref_lr_decay")
+    ref_lr_sched = _load_ref("util/lr_sched.py", "_ref_lr_sched")
+
+    depth, d, heads, ncls = 3, 32, 4, 5
+    vcfg = get_vit_config(
+        "vit_base_patch16", input_size=S, patch_size=P, num_classes=ncls,
+        embed_dim=d, depth=depth, num_heads=heads, drop_path_rate=0.0,
+        global_pool=True, compute_dtype="float32", gelu="exact",
+    )
+    params, _ = vit_init(jax.random.key(4), vcfg)
+    num_tokens = (S // P) ** 2 + 1
+    model = TorchViT(d, depth, heads, ncls, num_tokens, P * P * 3)
+    _copy_jax_to_torch_vit(params, model, depth)
+
+    steps_per_epoch = 5
+    lr_args = SimpleNamespace(lr=1e-3, min_lr=0.0, warmup_epochs=1, epochs=2)
+    schedule = warmup_half_cosine(
+        lr_args.lr, lr_args.min_lr, lr_args.warmup_epochs, lr_args.epochs,
+        steps_per_epoch,
+    )
+    layer_decay = 0.75
+    groups = ref_lrd.param_groups_lrd(
+        model, weight_decay=0.05,
+        no_weight_decay_list=model.no_weight_decay(),
+        layer_decay=layer_decay,
+    )
+    topt = torch.optim.AdamW(groups, lr=0.0, betas=(0.9, 0.999), eps=1e-8)
+
+    tx = build_optimizer(
+        params, schedule, weight_decay=0.05, b1=0.9, b2=0.999,
+        layer_decay=layer_decay, depth=depth,
+        no_decay_names=("pos_embed", "cls_token"),
+    )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def jstep(params, opt_state, imgs, labels):
+        def loss_fn(p):
+            logits, _ = vit_apply(p, {}, vcfg, imgs, train=False)
+            targets = smooth_one_hot(labels, ncls, 0.1)
+            return soft_cross_entropy(logits, targets)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return loss, optax.apply_updates(params, updates), opt_state2
+
+    rng = np.random.default_rng(29)
+    jl, tl_all = [], []
+    for t in range(STEPS):
+        imgs = rng.normal(size=(4, S, S, 3)).astype(np.float32)
+        labels = rng.integers(0, ncls, size=(4,))
+
+        ref_lr_sched.adjust_learning_rate(topt, t / steps_per_epoch, lr_args)
+        topt.zero_grad()
+        patches = patchify(jnp.asarray(imgs), P)
+        logits_t = model(torch.from_numpy(np.asarray(patches)))
+        targets = torch.nn.functional.one_hot(
+            torch.from_numpy(labels).long(), ncls
+        ).float() * 0.9 + 0.1 / ncls
+        loss_t = -(targets * torch.log_softmax(logits_t, dim=-1)).sum(1).mean()
+        loss_t.backward()
+        topt.step()
+        tl_all.append(float(loss_t.detach()))
+
+        loss_j, params, opt_state = jstep(
+            params, opt_state, jnp.asarray(imgs), jnp.asarray(labels))
+        jl.append(float(loss_j))
+
+    np.testing.assert_allclose(jl, tl_all, rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(params["head"]["kernel"]),
+        model.head.weight.detach().numpy().T, atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(params["blocks"]["mlp"]["fc1"]["kernel"][0]),
+        model.blocks[0].mlp.fc1.weight.detach().numpy().T, atol=5e-4)
+    # (No loss-decrease assert: labels are freshly random per step, so the
+    # task is unlearnable by construction — lockstep is the claim.)
+
+
 @pytest.mark.slow
 def test_ten_step_training_equivalence(cfg, tmp_path):
     from cross_scale_mae_tpu.models.mae import mae_apply
