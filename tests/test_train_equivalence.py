@@ -254,6 +254,106 @@ def test_ten_step_classifier_training_equivalence(tmp_path):
 
 
 @pytest.mark.slow
+def test_ten_step_linprobe_training_equivalence():
+    """The linear-probe recipe in lockstep: frozen backbone, frozen-affine
+    BatchNorm1d head (eps 1e-6), plain CE, and the REFERENCE's own LARS
+    (util/lars.py) driving the torch side — vs our optax lars + masked
+    freeze + BN-as-state."""
+    import optax
+
+    from cross_scale_mae_tpu.configs import get_vit_config
+    from cross_scale_mae_tpu.models import vit_init
+    from cross_scale_mae_tpu.models.vit import vit_apply
+    from cross_scale_mae_tpu.ops.patchify import patchify
+    from cross_scale_mae_tpu.train.optim import build_optimizer
+    from tests.test_reference_parity import REF, _load_ref
+
+    if not REF.exists():
+        pytest.skip("reference not mounted")
+    ref_lars = _load_ref("util/lars.py", "_ref_lars")
+
+    depth, d, heads, ncls = 2, 32, 4, 5
+    vcfg = get_vit_config(
+        "vit_base_patch16", input_size=S, patch_size=P, num_classes=ncls,
+        embed_dim=d, depth=depth, num_heads=heads, drop_path_rate=0.0,
+        global_pool=True, use_bn_head=True,
+        compute_dtype="float32", gelu="exact",
+    )
+    params, mstate = vit_init(jax.random.key(6), vcfg)
+    num_tokens = (S // P) ** 2 + 1
+    model = TorchViT(d, depth, heads, ncls, num_tokens, P * P * 3)
+    _copy_jax_to_torch_vit(params, model, depth)
+    bn = torch.nn.BatchNorm1d(d, affine=False, eps=1e-6)
+
+    for name, p in model.named_parameters():
+        p.requires_grad = name.startswith("head")
+    lr = 0.1
+    topt = ref_lars.LARS(model.head.parameters(), lr=lr, weight_decay=0.0)
+
+    trainable = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: str(getattr(path[0], "key", "")) == "head", params
+    )
+    tx = build_optimizer(params, lambda _: lr, optimizer="lars",
+                         weight_decay=0.0, frozen_mask=trainable)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def jstep(params, mstate, opt_state, imgs, labels):
+        def loss_fn(p, ms):
+            logits, new_ms = vit_apply(p, ms, vcfg, imgs, train=True)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            loss = -jnp.mean(
+                jnp.take_along_axis(logp, labels[:, None], axis=1))
+            return loss, new_ms
+
+        (loss, new_ms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, mstate)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return loss, optax.apply_updates(params, updates), new_ms, opt_state2
+
+    rng = np.random.default_rng(31)
+    jl, tl_all = [], []
+    for t in range(STEPS):
+        imgs = rng.normal(size=(8, S, S, 3)).astype(np.float32)
+        labels = rng.integers(0, ncls, size=(8,))
+
+        topt.zero_grad()
+        patches = patchify(jnp.asarray(imgs), P)
+        x = model.patch_embed(torch.from_numpy(np.asarray(patches)))
+        cls = model.cls_token.expand(x.shape[0], -1, -1)
+        x = torch.cat([cls, x], dim=1) + model.pos_embed
+        for blk in model.blocks:
+            x = blk(x)
+        feat = model.fc_norm(x[:, 1:, :].mean(dim=1))
+        logits_t = model.head(bn(feat))  # BN before head (main_linprobe:517)
+        loss_t = torch.nn.functional.cross_entropy(
+            logits_t, torch.from_numpy(labels).long())
+        loss_t.backward()
+        topt.step()
+        tl_all.append(float(loss_t.detach()))
+
+        loss_j, params, mstate, opt_state = jstep(
+            params, mstate, opt_state, jnp.asarray(imgs), jnp.asarray(labels))
+        jl.append(float(loss_j))
+
+    np.testing.assert_allclose(jl, tl_all, rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(params["head"]["kernel"]),
+        model.head.weight.detach().numpy().T, atol=5e-4)
+    # BN running stats track torch's (momentum 0.1, unbiased running var).
+    np.testing.assert_allclose(
+        np.asarray(mstate["head_bn"]["mean"]),
+        bn.running_mean.numpy(), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mstate["head_bn"]["var"]),
+        bn.running_var.numpy(), rtol=1e-4)
+    # Backbone untouched on both sides (frozen).
+    np.testing.assert_allclose(
+        np.asarray(params["patch_embed"]["kernel"]),
+        model.patch_embed.weight.detach().numpy().T, atol=1e-7)
+
+
+@pytest.mark.slow
 def test_ten_step_training_equivalence(cfg, tmp_path):
     from cross_scale_mae_tpu.models.mae import mae_apply
     from cross_scale_mae_tpu.ops.pos_embed import get_2d_sincos_pos_embed
