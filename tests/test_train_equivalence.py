@@ -52,7 +52,8 @@ BATCH = 2
 MASK_RATIO = 0.75
 
 
-def _torch_masked_forward(model, imgs_nchw, noise, enc_pos, dec_pos, len_keep):
+def _torch_masked_forward(model, imgs_nchw, noise, enc_pos, dec_pos, len_keep,
+                          return_embeds=False):
     """Reference forward WITH masking (MAE_ViT_Baseline.py:243-297 +
     MAE_ViT_Shared.random_masking on injected noise)."""
     n = imgs_nchw.shape[0]
@@ -85,7 +86,155 @@ def _torch_masked_forward(model, imgs_nchw, noise, enc_pos, dec_pos, len_keep):
     tgt = imgs_nchw.reshape(n, 3, S // P, P, S // P, P)
     tgt = torch.einsum("nchpwq->nhwpqc", tgt).reshape(n, -1, P * P * 3)
     per_patch = ((pred - tgt) ** 2).mean(dim=-1)
-    return (per_patch * mask).sum() / mask.sum()
+    loss = (per_patch * mask).sum() / mask.sum()
+    if return_embeds:
+        return loss, x, y  # enc tokens (unnormed, quirk), dec tokens (normed)
+    return loss
+
+
+@pytest.mark.slow
+def test_ten_step_flagship_msldcecd_training_equivalence(cfg, tmp_path):
+    """The FULL flagship objective (MsLdCeCd: dual-view reconstruction +
+    cross-decoder MLP-predictor with token-axis BatchNorm + NT-Xent) in
+    ten-step lockstep. The multi-scale crop is forced to the identity by
+    degenerate ranges (ms_range=(1,1), aspect=(1,1) -> box = full image,
+    identity resample) so both sides see the same two views with different
+    injected masks; the torch side's NT-Xent is the reference's own
+    util/contrast_loss.NTXentLoss and its lr util/lr_sched."""
+    import optax
+
+    from cross_scale_mae_tpu.models import mae_init
+    from cross_scale_mae_tpu.models.mae import mae_loss_fn
+    from cross_scale_mae_tpu.ops.pos_embed import get_2d_sincos_pos_embed
+    from cross_scale_mae_tpu.train.optim import build_optimizer
+    from cross_scale_mae_tpu.train.schedule import warmup_half_cosine
+    from cross_scale_mae_tpu.utils.torch_import import import_mae_checkpoint
+    from tests.test_reference_parity import REF, _load_ref
+
+    if not REF.exists():
+        pytest.skip("reference not mounted")
+    ref_lr_sched = _load_ref("util/lr_sched.py", "_ref_lr_sched")
+    ref_contrast = _load_ref("util/contrast_loss.py", "_ref_contrast_loss")
+
+    torch.manual_seed(9)
+    model = TorchMAE().train()
+    path = tmp_path / "ckpt.pth"
+    torch.save({"model": model.state_dict()}, path)
+
+    vcfg = cfg.replace(
+        mask_ratio=MASK_RATIO, multi_scale=True,
+        use_cd_pred=True, use_ce_ntxent=True,
+        ms_range=(1.0, 1.0), ms_aspect_ratio=(1.0, 1.0),
+        predictor_hidden_size=64,
+    )
+    params = import_mae_checkpoint(str(path), vcfg)
+    # Fresh predictor on the jax side; mirror its weights into torch.
+    _, mstate = mae_init(jax.random.key(11), vcfg)
+    from cross_scale_mae_tpu.models import layers as jlayers
+
+    params["predictor_cd"] = jlayers.predictor_init(
+        jax.random.key(12), DD, vcfg.num_patches, 64)
+
+    l_full = (S // P) ** 2
+    len_keep = int(l_full * (1 - MASK_RATIO))
+    pred_t = torch.nn.Sequential(
+        torch.nn.Linear(DD, 64),
+        torch.nn.BatchNorm1d(l_full),
+        torch.nn.ReLU(),
+        torch.nn.Linear(64, DD),
+    )
+    with torch.no_grad():
+        pj = params["predictor_cd"]
+        pred_t[0].weight.copy_(torch.from_numpy(
+            np.asarray(pj["fc1"]["kernel"]).copy()).T)
+        pred_t[0].bias.copy_(torch.from_numpy(
+            np.asarray(pj["fc1"]["bias"]).copy()))
+        pred_t[3].weight.copy_(torch.from_numpy(
+            np.asarray(pj["fc2"]["kernel"]).copy()).T)
+        pred_t[3].bias.copy_(torch.from_numpy(
+            np.asarray(pj["fc2"]["bias"]).copy()))
+
+    ntxent_t = ref_contrast.NTXentLoss(BATCH, tau=0.5, cos_sim=True)
+
+    steps_per_epoch = 5
+    lr_args = SimpleNamespace(lr=1e-3, min_lr=0.0, warmup_epochs=1, epochs=2)
+    schedule = warmup_half_cosine(
+        lr_args.lr, lr_args.min_lr, lr_args.warmup_epochs, lr_args.epochs,
+        steps_per_epoch,
+    )
+    all_t = list(model.parameters()) + list(pred_t.parameters())
+    topt = torch.optim.AdamW(
+        [{"params": [p for p in all_t if p.ndim > 1], "weight_decay": 0.05},
+         {"params": [p for p in all_t if p.ndim <= 1], "weight_decay": 0.0}],
+        lr=0.0, betas=(0.9, 0.95), eps=1e-8,
+    )
+    enc_pos = torch.from_numpy(np.asarray(
+        get_2d_sincos_pos_embed(D, S // P, cls_token=True)))[None].float()
+    dec_pos = torch.from_numpy(np.asarray(
+        get_2d_sincos_pos_embed(DD, S // P, cls_token=True)))[None].float()
+
+    tx = build_optimizer(params, schedule, weight_decay=0.05)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def jstep(params, mstate, opt_state, imgs, rng):
+        def loss_fn(p, ms):
+            out = mae_loss_fn(p, ms, vcfg, imgs, rng, train=True)
+            return out.loss, out.state
+
+        (loss, new_ms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, mstate)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return loss, optax.apply_updates(params, updates), new_ms, opt_state2
+
+    rng_np = np.random.default_rng(37)
+    jl, tl_all = [], []
+    base = jax.random.key(41)
+    for t in range(STEPS):
+        imgs = rng_np.normal(size=(BATCH, S, S, 3)).astype(np.float32)
+        step_key = jax.random.fold_in(base, t)
+        # Reproduce mae_loss_fn's noise derivation outside the jit so the
+        # torch side masks identically (models/mae.py mae_loss_fn).
+        _, k_mask1, k_mask2 = jax.random.split(step_key, 3)
+        noise1 = np.asarray(jax.random.uniform(k_mask1, (BATCH, l_full)))
+        noise2 = np.asarray(jax.random.uniform(k_mask2, (BATCH, l_full)))
+
+        timgs = torch.from_numpy(imgs.transpose(0, 3, 1, 2))
+        ref_lr_sched.adjust_learning_rate(topt, t / steps_per_epoch, lr_args)
+        topt.zero_grad()
+        l1, enc1, dec1 = _torch_masked_forward(
+            model, timgs, torch.from_numpy(noise1), enc_pos, dec_pos,
+            len_keep, return_embeds=True)
+        l2, enc2, dec2 = _torch_masked_forward(
+            model, timgs, torch.from_numpy(noise2), enc_pos, dec_pos,
+            len_keep, return_embeds=True)
+        loss_d = l1 + l2
+        pred_cd = pred_t(dec2[:, 1:, :])
+        loss_cd = ((pred_cd - dec1[:, 1:, :]) ** 2).mean(dim=-1).mean()
+        f1 = enc1[:, 1:, :].mean(dim=1)
+        f2 = enc2[:, 1:, :].mean(dim=1)
+        loss_ce = ntxent_t(f1, f2)
+        loss_t = loss_d + loss_cd + loss_ce
+        loss_t.backward()
+        topt.step()
+        tl_all.append(float(loss_t.detach()))
+
+        loss_j, params, mstate, opt_state = jstep(
+            params, mstate, opt_state, jnp.asarray(imgs), step_key)
+        jl.append(float(loss_j))
+
+    np.testing.assert_allclose(jl, tl_all, rtol=3e-4)
+    np.testing.assert_allclose(
+        np.asarray(params["predictor_cd"]["fc1"]["kernel"]),
+        pred_t[0].weight.detach().numpy().T, atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(params["decoder_pred"]["kernel"]),
+        model.decoder_pred.weight.detach().numpy().T, atol=5e-4)
+    # Predictor BN running stats in lockstep too.
+    np.testing.assert_allclose(
+        np.asarray(mstate["predictor_cd"]["bn"]["mean"]),
+        pred_t[1].running_mean.detach().numpy(), atol=1e-5)
+    assert jl[-1] < jl[0]
 
 
 class TorchViT(torch.nn.Module):
