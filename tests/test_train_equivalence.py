@@ -93,10 +93,12 @@ def _torch_masked_forward(model, imgs_nchw, noise, enc_pos, dec_pos, len_keep,
 
 
 @pytest.mark.slow
-def test_ten_step_flagship_msldcecd_training_equivalence(cfg, tmp_path):
-    """The FULL flagship objective (MsLdCeCd: dual-view reconstruction +
-    cross-decoder MLP-predictor with token-axis BatchNorm + NT-Xent) in
-    ten-step lockstep. The multi-scale crop is forced to the identity by
+@pytest.mark.parametrize("variant", ["MsLdCeCd", "MsLdLe", "MsLdCe"])
+def test_ten_step_multiscale_training_equivalence(cfg, tmp_path, variant):
+    """Multi-scale variants in ten-step lockstep — MsLdCeCd (the flagship:
+    dual-view reconstruction + cross-decoder MLP-predictor with token-axis
+    BatchNorm + NT-Xent), MsLdLe (latent distance) and MsLdCe (cross-encoder
+    predictor, BN sized to len_keep). The crop is forced to the identity by
     degenerate ranges (ms_range=(1,1), aspect=(1,1) -> box = full image,
     identity resample) so both sides see the same two views with different
     injected masks; the torch side's NT-Xent is the reference's own
@@ -121,38 +123,47 @@ def test_ten_step_flagship_msldcecd_training_equivalence(cfg, tmp_path):
     path = tmp_path / "ckpt.pth"
     torch.save({"model": model.state_dict()}, path)
 
+    flags = {
+        "MsLdCeCd": dict(use_cd_pred=True, use_ce_ntxent=True),
+        "MsLdLe": dict(use_le=True),
+        "MsLdCe": dict(use_ce_pred=True),
+    }[variant]
     vcfg = cfg.replace(
         mask_ratio=MASK_RATIO, multi_scale=True,
-        use_cd_pred=True, use_ce_ntxent=True,
         ms_range=(1.0, 1.0), ms_aspect_ratio=(1.0, 1.0),
-        predictor_hidden_size=64,
+        predictor_hidden_size=64, **flags,
     )
     params = import_mae_checkpoint(str(path), vcfg)
     # Fresh predictor on the jax side; mirror its weights into torch.
     _, mstate = mae_init(jax.random.key(11), vcfg)
     from cross_scale_mae_tpu.models import layers as jlayers
 
-    params["predictor_cd"] = jlayers.predictor_init(
-        jax.random.key(12), DD, vcfg.num_patches, 64)
-
     l_full = (S // P) ** 2
     len_keep = int(l_full * (1 - MASK_RATIO))
-    pred_t = torch.nn.Sequential(
-        torch.nn.Linear(DD, 64),
-        torch.nn.BatchNorm1d(l_full),
-        torch.nn.ReLU(),
-        torch.nn.Linear(64, DD),
-    )
-    with torch.no_grad():
-        pj = params["predictor_cd"]
-        pred_t[0].weight.copy_(torch.from_numpy(
-            np.asarray(pj["fc1"]["kernel"]).copy()).T)
-        pred_t[0].bias.copy_(torch.from_numpy(
-            np.asarray(pj["fc1"]["bias"]).copy()))
-        pred_t[3].weight.copy_(torch.from_numpy(
-            np.asarray(pj["fc2"]["kernel"]).copy()).T)
-        pred_t[3].bias.copy_(torch.from_numpy(
-            np.asarray(pj["fc2"]["bias"]).copy()))
+    pred_t = None
+    pred_key = None
+    if vcfg.use_cd_pred or vcfg.use_ce_pred:
+        pred_key = "predictor_cd" if vcfg.use_cd_pred else "predictor_ce"
+        pdim = DD if vcfg.use_cd_pred else D
+        ptokens = l_full if vcfg.use_cd_pred else len_keep
+        params[pred_key] = jlayers.predictor_init(
+            jax.random.key(12), pdim, ptokens, 64)
+        pred_t = torch.nn.Sequential(
+            torch.nn.Linear(pdim, 64),
+            torch.nn.BatchNorm1d(ptokens),
+            torch.nn.ReLU(),
+            torch.nn.Linear(64, pdim),
+        )
+        with torch.no_grad():
+            pj = params[pred_key]
+            pred_t[0].weight.copy_(torch.from_numpy(
+                np.asarray(pj["fc1"]["kernel"]).copy()).T)
+            pred_t[0].bias.copy_(torch.from_numpy(
+                np.asarray(pj["fc1"]["bias"]).copy()))
+            pred_t[3].weight.copy_(torch.from_numpy(
+                np.asarray(pj["fc2"]["kernel"]).copy()).T)
+            pred_t[3].bias.copy_(torch.from_numpy(
+                np.asarray(pj["fc2"]["bias"]).copy()))
 
     ntxent_t = ref_contrast.NTXentLoss(BATCH, tau=0.5, cos_sim=True)
 
@@ -162,7 +173,8 @@ def test_ten_step_flagship_msldcecd_training_equivalence(cfg, tmp_path):
         lr_args.lr, lr_args.min_lr, lr_args.warmup_epochs, lr_args.epochs,
         steps_per_epoch,
     )
-    all_t = list(model.parameters()) + list(pred_t.parameters())
+    all_t = list(model.parameters()) + (
+        list(pred_t.parameters()) if pred_t is not None else [])
     topt = torch.optim.AdamW(
         [{"params": [p for p in all_t if p.ndim > 1], "weight_decay": 0.05},
          {"params": [p for p in all_t if p.ndim <= 1], "weight_decay": 0.0}],
@@ -208,13 +220,20 @@ def test_ten_step_flagship_msldcecd_training_equivalence(cfg, tmp_path):
         l2, enc2, dec2 = _torch_masked_forward(
             model, timgs, torch.from_numpy(noise2), enc_pos, dec_pos,
             len_keep, return_embeds=True)
-        loss_d = l1 + l2
-        pred_cd = pred_t(dec2[:, 1:, :])
-        loss_cd = ((pred_cd - dec1[:, 1:, :]) ** 2).mean(dim=-1).mean()
-        f1 = enc1[:, 1:, :].mean(dim=1)
-        f2 = enc2[:, 1:, :].mean(dim=1)
-        loss_ce = ntxent_t(f1, f2)
-        loss_t = loss_d + loss_cd + loss_ce
+        loss_t = l1 + l2
+        if vcfg.use_le:
+            # full embeddings INCL cls (MAE_ViT_MsLdLe.py:44)
+            loss_t = loss_t + ((enc1 - enc2) ** 2).mean(dim=-1).mean()
+        if vcfg.use_ce_pred:
+            p_ce = pred_t(enc2[:, 1:, :])
+            loss_t = loss_t + ((p_ce - enc1[:, 1:, :]) ** 2).mean(-1).mean()
+        if vcfg.use_cd_pred:
+            pred_cd = pred_t(dec2[:, 1:, :])
+            loss_t = loss_t + ((pred_cd - dec1[:, 1:, :]) ** 2).mean(-1).mean()
+        if vcfg.use_ce_ntxent:
+            f1 = enc1[:, 1:, :].mean(dim=1)
+            f2 = enc2[:, 1:, :].mean(dim=1)
+            loss_t = loss_t + ntxent_t(f1, f2)
         loss_t.backward()
         topt.step()
         tl_all.append(float(loss_t.detach()))
@@ -225,15 +244,16 @@ def test_ten_step_flagship_msldcecd_training_equivalence(cfg, tmp_path):
 
     np.testing.assert_allclose(jl, tl_all, rtol=3e-4)
     np.testing.assert_allclose(
-        np.asarray(params["predictor_cd"]["fc1"]["kernel"]),
-        pred_t[0].weight.detach().numpy().T, atol=5e-4)
-    np.testing.assert_allclose(
         np.asarray(params["decoder_pred"]["kernel"]),
         model.decoder_pred.weight.detach().numpy().T, atol=5e-4)
-    # Predictor BN running stats in lockstep too.
-    np.testing.assert_allclose(
-        np.asarray(mstate["predictor_cd"]["bn"]["mean"]),
-        pred_t[1].running_mean.detach().numpy(), atol=1e-5)
+    if pred_key is not None:
+        np.testing.assert_allclose(
+            np.asarray(params[pred_key]["fc1"]["kernel"]),
+            pred_t[0].weight.detach().numpy().T, atol=5e-4)
+        # Predictor BN running stats in lockstep too.
+        np.testing.assert_allclose(
+            np.asarray(mstate[pred_key]["bn"]["mean"]),
+            pred_t[1].running_mean.detach().numpy(), atol=1e-5)
     assert jl[-1] < jl[0]
 
 
