@@ -3,20 +3,32 @@
 The reference has no deployment story at all (its only inference surface is
 the matplotlib viz harness, util/viz.py — SURVEY.md §3.4). This CLI closes
 that gap TPU-natively: it lowers the deterministic unmasked encoder (raw
-uint8 batch -> eval preprocess -> ViT encoder -> pooled features) with
-``jax.export`` and writes a single self-contained artifact that any PJRT
-runtime (Python, C++, other hosts, other JAX versions within the
+uint8 canvas -> eval preprocess (normalize + center-crop, the same chain
+cli/finetune.py's eval datasets use) -> ViT encoder -> pooled features)
+with ``jax.export`` and writes a single self-contained artifact that any
+PJRT runtime (Python, C++, other hosts, other JAX versions within the
 compatibility window) can deserialize and call — no framework code, no
 checkpoint format, no Python model class needed at serving time.
 
+* ``--dataset_type`` selects the normalization stats baked into the module
+  (data/datasets.py DATASET_STATS); host-normalized dataset families
+  (fmow_sentinel / euro_sat) skip the on-device normalize exactly like
+  their loaders do.
+* The input spec is the EVAL CANVAS size (input_size/0.875 for inputs
+  <= 224, like the finetune/linprobe eval datasets), so the exported
+  features match the training-time eval pipeline bit-for-bit; override
+  with ``--canvas_scale``.
+* Attention is always lowered via the XLA path (numerically identical to
+  the Pallas kernels): a Mosaic tpu_custom_call would pin the "portable"
+  artifact to TPU runtimes.
 * Weights are baked into the module as constants by default (one-file
-  artifact; ~2 bytes/param at bf16). ``--no_bake_weights`` exports
-  ``fn(params, imgs)`` instead and writes the params to a sidecar ``.npz``.
-* ``--symbolic_batch`` exports with a polymorphic batch dimension (serve any
-  batch size from one artifact); this forces the XLA attention path since a
-  Pallas grid needs a concrete batch.
-* The CLI verifies its own artifact: deserialize + run + compare against
-  the in-process forward before reporting success.
+  artifact). ``--no_bake_weights`` exports ``fn(params, imgs)`` instead and
+  writes the params to a sidecar ``.npz``.
+* ``--symbolic_batch`` exports with a polymorphic batch dimension (serve
+  any batch size from one artifact).
+* The CLI verifies its own artifact (deserialize + run + compare against
+  the in-process forward) whenever the local backend is among the exported
+  platforms; otherwise it verifies deserialization only.
 
 Usage:
     python -m cross_scale_mae_tpu.cli.export --ckpt <run>/checkpoints \
@@ -34,6 +46,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Dataset families whose loaders normalize on the host (SentinelNormalize),
+# mirroring data/datasets.py normalize_on_device=False.
+_HOST_NORMALIZED = ("fmow_sentinel", "euro_sat")
+
 
 def get_args_parser():
     p = argparse.ArgumentParser("Cross-Scale MAE serving export (TPU)",
@@ -45,8 +61,15 @@ def get_args_parser():
                    help="artifact path (e.g. encoder.stablehlo)")
     p.add_argument("--pool", default="cls", choices=["cls", "mean", "tokens"])
     p.add_argument("--batch_size", default=64, type=int)
+    p.add_argument("--dataset_type", default="fmow_rgb",
+                   help="normalization stats baked into the module "
+                        "(data/datasets.py DATASET_STATS)")
+    p.add_argument("--canvas_scale", default=None, type=float,
+                   help="input canvas = input_size * canvas_scale; default "
+                        "1/0.875 for input <= 224 (the eval pipeline's "
+                        "Resize + CenterCrop), else 1.0")
     p.add_argument("--symbolic_batch", action="store_true",
-                   help="polymorphic batch dim (forces xla attention)")
+                   help="polymorphic batch dim (serve any batch size)")
     p.add_argument("--no_bake_weights", action="store_true",
                    help="export fn(params, imgs) + params sidecar .npz "
                         "instead of a self-contained module")
@@ -59,21 +82,37 @@ def get_args_parser():
 def main(args) -> dict:
     from jax import export as jexport
 
+    from cross_scale_mae_tpu.data.datasets import DATASET_STATS
     from cross_scale_mae_tpu.models import mae_encode
     from cross_scale_mae_tpu.ops.augment import make_eval_preprocess
     from cross_scale_mae_tpu.viz import prepare_model
 
     params, _state, cfg = prepare_model(args.ckpt, args.step)
-    if args.symbolic_batch and cfg.attention_impl != "xla":
+    # Portability: the Pallas kernels lower to a Mosaic tpu_custom_call,
+    # which only TPU PJRT runtimes can execute; the XLA path is numerically
+    # identical (tests/test_models.py) and lowers everywhere.
+    if cfg.attention_impl != "xla":
         cfg = cfg.replace(attention_impl="xla")
-    # Serving runtimes feed raw uint8 images at the dataset canvas size; the
-    # module owns normalization so the client needs zero preprocessing
-    # knowledge. Stats fall back to fMoW-RGB when the checkpoint config has
-    # no dataset attached.
-    from cross_scale_mae_tpu.data.datasets import FMOW_RGB_MEAN, FMOW_RGB_STD
+
+    if args.dataset_type not in DATASET_STATS:
+        raise SystemExit(
+            f"unknown --dataset_type {args.dataset_type!r}; "
+            f"known: {sorted(DATASET_STATS)}"
+        )
+    mean, std = DATASET_STATS[args.dataset_type]
+    normalize = args.dataset_type not in _HOST_NORMALIZED
+    if normalize and len(mean) != cfg.input_channels:
+        raise SystemExit(
+            f"--dataset_type {args.dataset_type} has {len(mean)}-channel "
+            f"stats but the checkpoint expects {cfg.input_channels} channels"
+        )
+    scale = args.canvas_scale
+    if scale is None:
+        scale = 1.0 / 0.875 if cfg.input_size <= 224 else 1.0
+    canvas = int(round(cfg.input_size * scale))
 
     preprocess = make_eval_preprocess(
-        FMOW_RGB_MEAN, FMOW_RGB_STD, cfg.input_size,
+        mean, std, cfg.input_size, normalize=normalize,
         dtype=cfg.compute_dtype,
     )
 
@@ -87,13 +126,13 @@ def main(args) -> dict:
             out = feats
         return out.astype(jnp.float32)
 
-    s = cfg.input_size
     c = cfg.input_channels
     if args.symbolic_batch:
         (b,) = jexport.symbolic_shape("b")
-        img_spec = jax.ShapeDtypeStruct((b, s, s, c), jnp.uint8)
+        img_spec = jax.ShapeDtypeStruct((b, canvas, canvas, c), jnp.uint8)
     else:
-        img_spec = jax.ShapeDtypeStruct((args.batch_size, s, s, c), jnp.uint8)
+        img_spec = jax.ShapeDtypeStruct(
+            (args.batch_size, canvas, canvas, c), jnp.uint8)
 
     kwargs = {}
     if args.platforms:
@@ -128,36 +167,48 @@ def main(args) -> dict:
         flatten(params)
         np.savez(sidecar, **flat)
 
-    # Self-check: deserialize and compare against the in-process forward.
+    # Self-check: deserialize, and when the local backend is among the
+    # exported platforms, run + compare against the in-process forward.
     reloaded = jexport.deserialize(data)
-    nb = 2 if args.symbolic_batch else args.batch_size
-    rng = np.random.default_rng(0)
-    imgs = rng.integers(0, 256, (nb, s, s, c), np.uint8)
-    if args.no_bake_weights:
-        got = reloaded.call(params, jnp.asarray(imgs))
-    else:
-        got = reloaded.call(jnp.asarray(imgs))
-    want = forward(params, jnp.asarray(imgs))
-    # bf16 compute: the reloaded module and the freshly-jitted forward may
-    # fuse differently, so agreement is only to bf16 resolution (~8e-3).
-    tol = 1e-4 if cfg.compute_dtype == "float32" else 3e-2
-    np.testing.assert_allclose(
-        np.asarray(got), np.asarray(want), rtol=tol, atol=tol
-    )
+    backend = jax.default_backend()
+    local_plat = "tpu" if backend == "axon" else backend
+    runnable = local_plat in reloaded.platforms
+    verified = "deserialize-only"
+    out_dim = None
+    if runnable:
+        nb = 2 if args.symbolic_batch else args.batch_size
+        rng = np.random.default_rng(0)
+        imgs = rng.integers(0, 256, (nb, canvas, canvas, c), np.uint8)
+        if args.no_bake_weights:
+            got = reloaded.call(params, jnp.asarray(imgs))
+        else:
+            got = reloaded.call(jnp.asarray(imgs))
+        want = forward(params, jnp.asarray(imgs))
+        # bf16 compute: the reloaded module and the freshly-jitted forward
+        # may fuse differently, so agreement is only to bf16 resolution.
+        tol = 1e-4 if cfg.compute_dtype == "float32" else 3e-2
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=tol, atol=tol
+        )
+        out_dim = int(np.asarray(got).shape[-1])
+        verified = "roundtrip"
 
     meta = {
         "ckpt": args.ckpt,
         "pool": args.pool,
-        "input": [None if args.symbolic_batch else args.batch_size, s, s, c],
-        "output_dim": int(np.asarray(got).shape[-1]),
+        "dataset_type": args.dataset_type,
+        "input": [None if args.symbolic_batch else args.batch_size,
+                  canvas, canvas, c],
+        "output_dim": out_dim,
         "bytes": len(data),
         "platforms": list(exported.platforms),
         "weights": "baked" if sidecar is None else sidecar,
+        "verified": verified,
     }
     with open(args.output + ".json", "w") as f:
         json.dump(meta, f, indent=2)
     print(f"exported {args.output} ({len(data) / 1e6:.1f} MB, "
-          f"platforms={meta['platforms']}, verified roundtrip)")
+          f"platforms={meta['platforms']}, verified={verified})")
     return meta
 
 

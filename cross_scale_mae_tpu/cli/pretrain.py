@@ -377,7 +377,9 @@ def main(args) -> dict:
                 int(jax.device_get(state.step)), state,
                 config_json=cfg.to_json(), extra={"epoch": epoch},
             )
-            if args.plot_recon:
+            if args.plot_recon or args.val_img_path:
+                # --val_img_path alone implies plotting (the reference plots
+                # its val images unconditionally, main_pretrain.py:589-626).
                 _plot_epoch_recon(
                     state, cfg, dataset, mean, std, output_dir, epoch,
                     val_img_path=args.val_img_path,
@@ -413,35 +415,38 @@ def _plot_epoch_recon(state, cfg, dataset, mean, std, output_dir, epoch,
     if jax.process_index() != 0:
         return
 
-    def load_file(path):
-        from PIL import Image
-
-        arr = np.asarray(Image.open(path).convert("RGB"))
-        return arr, os.path.splitext(os.path.basename(path))[0]
-
-    sources = []
+    batches = []  # (normalized (1,H,W,C) batch, filename tag)
     if val_img_path:
-        if os.path.isdir(val_img_path):
-            names = sorted(
-                f for f in os.listdir(val_img_path)
+        from cross_scale_mae_tpu.viz import prepare_image
+
+        # prepare_image handles arbitrary file sizes/aspects (RGB convert +
+        # square bicubic resize to input_size + normalize, util/viz.py:92-121).
+        files = (
+            sorted(
+                os.path.join(val_img_path, f)
+                for f in os.listdir(val_img_path)
                 if f.lower().endswith((".jpg", ".jpeg", ".png"))
             )
-            sources = [load_file(os.path.join(val_img_path, f)) for f in names]
-        else:
-            sources = [load_file(val_img_path)]
-    if not sources:
+            if os.path.isdir(val_img_path) else [val_img_path]
+        )
+        batches = [
+            (prepare_image(f, cfg, mean, std),
+             os.path.splitext(os.path.basename(f))[0])
+            for f in files
+        ]
+    if not batches:
         img, _ = dataset.load(0)
-        sources = [(img, "")]
-
-    for img, tag in sources:
         x = jnp.asarray(img.astype(np.float32) / 255.0)
         if dataset.normalize_on_device:
             x = normalize_images(x, mean, std)
-        if x.shape[0] != cfg.input_size:
+        if x.shape[0] != cfg.input_size or x.shape[1] != cfg.input_size:
             from cross_scale_mae_tpu.ops.image import center_crop_resize
 
             x = center_crop_resize(x[None], cfg.input_size)[0]
-        result = run_one_image(state.params, cfg, x[None], jax.random.key(0))
+        batches = [(x[None], "")]
+
+    for batch, tag in batches:
+        result = run_one_image(state.params, cfg, batch, jax.random.key(0))
         suffix = f"_{tag}" if tag else ""
         plot_reconstruction(
             result,

@@ -45,6 +45,10 @@ def test_export_roundtrip(tiny_ckpt, tmp_path, mode):
     # main() already asserts reload-vs-inprocess parity; check artifacts.
     assert os.path.exists(out) and meta["bytes"] > 0
     assert os.path.exists(out + ".json")
+    assert meta["verified"] == "roundtrip"
+    # Eval-pipeline parity: the input spec is the eval canvas, so the
+    # center-crop branch of make_eval_preprocess is live in the module.
+    assert meta["input"][1] == int(round(16 / 0.875))
     if mode == "sidecar":
         sidecar = np.load(out + ".params.npz")
         assert len(sidecar.files) > 5
@@ -64,8 +68,9 @@ def test_symbolic_batch_serves_multiple_sizes(tiny_ckpt, tmp_path):
     ]))
     reloaded = jexport.deserialize(open(out, "rb").read())
     rng = np.random.default_rng(1)
+    canvas = int(round(16 / 0.875))  # eval-canvas input spec (export.py)
     for b in (1, 3, 8):
-        imgs = rng.integers(0, 256, (b, 16, 16, 3), np.uint8)
+        imgs = rng.integers(0, 256, (b, canvas, canvas, 3), np.uint8)
         feats = reloaded.call(jnp.asarray(imgs))
         assert np.asarray(feats).shape[0] == b
         assert np.isfinite(np.asarray(feats)).all()

@@ -124,19 +124,21 @@ def test_pretrain_val_img_path_recon_plots(tmp_path):
     imgdir = tmp_path / "val_imgs"
     imgdir.mkdir()
     rng = np.random.default_rng(0)
-    for name in ("a", "b"):
+    # Non-square image on purpose: prepare_image must square-resize it.
+    for name, hw in (("a", (20, 20)), ("b", (16, 28))):
         Image.fromarray(
-            rng.integers(0, 256, (20, 20, 3), np.uint8)
+            rng.integers(0, 256, hw + (3,), np.uint8)
         ).save(imgdir / f"{name}.png")
 
     out = str(tmp_path / "pt")
+    # --val_img_path alone implies plotting (no --plot_recon).
     args = pretrain.get_args_parser().parse_args([
         "--model", "mae_vit_tiny", "--dataset_type", "synthetic",
         "--synthetic_len", "32", "--input_size", "16", "--patch_size", "8",
         "--batch_size", "16", "--epochs", "1", "--warmup_epochs", "0",
         "--ckpt_interval", "1", "--output_dir", out,
         "--compute_dtype", "float32", "--log_interval", "2",
-        "--plot_recon", "--val_img_path", str(imgdir),
+        "--val_img_path", str(imgdir),
     ])
     res = pretrain.main(args)
     recon = os.path.join(res["output_dir"], "reconstructions")
