@@ -208,8 +208,11 @@ class NativeJpegLoader:
         return obj
 
     def epoch(self, epoch: int = 0) -> Iterator[tuple[np.ndarray, np.ndarray]]:
-        self._lib.csmae_loader_start_epoch(self._handle, epoch)
+        # Snapshot BEFORE launching workers: the counter is cumulative and
+        # on small datasets the pool can finish every decode before a
+        # post-start read, making the delta silently 0.
         failed_before = self._lib.csmae_loader_failed_count(self._handle)
+        self._lib.csmae_loader_start_epoch(self._handle, epoch)
         while True:
             imgs = np.empty((self.batch, self.canvas, self.canvas, self.channels),
                             np.uint8)

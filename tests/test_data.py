@@ -136,6 +136,50 @@ class TestNative:
                                                                 Image.BICUBIC))
         assert np.mean(np.abs(out.astype(int) - ref.astype(int))) < 4
 
+    def test_native_loader_survives_corrupt_files(self, tmp_path):
+        """Corrupt/truncated/empty image files must not crash (or worse,
+        segfault) the C++ workers: failed decodes are zero-filled, counted,
+        and surfaced as a loud warning at epoch end — the reference's torch
+        DataLoader would kill the worker process instead."""
+        from PIL import Image
+
+        from cross_scale_mae_tpu.data import DataLoader, FmowRgbDataset
+        from cross_scale_mae_tpu.data.native import get_library
+
+        if get_library() is None:
+            pytest.skip("native loader not built")
+        rng = np.random.default_rng(1)
+        rows = []
+        for i in range(6):
+            p = tmp_path / f"ok_{i}.jpg"
+            Image.fromarray(
+                rng.integers(0, 256, (40, 40, 3), np.uint8)).save(p)
+            rows.append((i % 3, p.name))
+        corrupt = {
+            "trunc.jpg": bytes.fromhex("ffd8ffe000104a46494600") + b"\0" * 40,
+            "garbage.jpg": b"not an image" * 8,
+            "empty.jpg": b"",
+        }
+        for name, blob in corrupt.items():
+            (tmp_path / name).write_bytes(blob)
+            rows.append((0, name))
+        csv = tmp_path / "index.csv"
+        with open(csv, "w") as f:
+            f.write("category,image_path\n")
+            for label, name in rows:
+                f.write(f"{label},{name}\n")
+
+        ds = FmowRgbDataset(str(csv), canvas_size=32)
+        dl = DataLoader(ds, 4, seed=0, num_threads=2, drop_last=False)
+        assert dl._native is not None, "native path should engage"
+        with pytest.warns(UserWarning, match="failed"):
+            batches = list(dl.epoch(0))
+        total = sum(len(lbls) for _, lbls in batches)
+        assert total == 9  # every row delivered, corrupt ones zero-filled
+        # Second epoch still works (worker threads alive after failures).
+        batches2 = list(dl.epoch(1))
+        assert sum(len(l) for _, l in batches2) == 9
+
     def test_native_loader_epoch(self, jpeg_dir):
         from cross_scale_mae_tpu.data.native import get_library
 
