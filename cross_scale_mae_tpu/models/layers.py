@@ -99,16 +99,7 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
-    """LN with fp32 statistics regardless of activation dtype.
-
-    On single-device TPU programs this dispatches to the fused Pallas
-    kernel (ops/layernorm.py: one HBM pass fwd, one bwd — XLA's
-    decomposition re-reads the activation per reduction, ~16 ms of the
-    round-3 flagship step). Identical fp32-stat numerics either way."""
-    from cross_scale_mae_tpu.ops.layernorm import ln_applicable, ln_pallas
-
-    if ln_applicable(x):
-        return ln_pallas(x, p["scale"], p["bias"], eps, False)
+    """LN with fp32 statistics regardless of activation dtype."""
     dtype = x.dtype
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)

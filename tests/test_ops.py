@@ -180,86 +180,3 @@ class TestImageOps:
         imgs = jnp.asarray(rng_np.normal(size=(2, 146, 146, 3)).astype(np.float32))
         out = center_crop_resize(imgs, 128)
         assert out.shape == (2, 128, 128, 3)
-
-
-class TestFusedLayerNorm:
-    """ops/layernorm.py kernel vs the XLA decomposition (identical math)."""
-
-    def _xla_ln(self, x, scale, bias, eps=1e-6):
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.var(x32, axis=-1, keepdims=True)
-        y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-        return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(
-            x.dtype
-        )
-
-    @pytest.mark.parametrize("shape", [(8, 128), (4, 6, 256), (24, 17, 128)])
-    @pytest.mark.parametrize("dtype", [np.float32, jnp.bfloat16])
-    def test_forward_parity(self, rng_np, shape, dtype):
-        from cross_scale_mae_tpu.ops.layernorm import ln_pallas
-
-        x = jnp.asarray(rng_np.normal(size=shape), dtype)
-        scale = jnp.asarray(rng_np.normal(size=shape[-1]), np.float32)
-        bias = jnp.asarray(rng_np.normal(size=shape[-1]), np.float32)
-        got = ln_pallas(x, scale, bias, 1e-6, True)
-        want = self._xla_ln(x, scale, bias)
-        assert got.dtype == x.dtype
-        tol = 1e-6 if dtype == np.float32 else 2e-2
-        np.testing.assert_allclose(
-            np.asarray(got, np.float32), np.asarray(want, np.float32),
-            atol=tol, rtol=tol,
-        )
-
-    def test_grad_parity(self, rng_np):
-        from cross_scale_mae_tpu.ops.layernorm import ln_pallas
-
-        x = jnp.asarray(rng_np.normal(size=(6, 9, 128)), np.float32)
-        scale = jnp.asarray(rng_np.normal(size=128), np.float32)
-        bias = jnp.asarray(rng_np.normal(size=128), np.float32)
-        w = jnp.asarray(rng_np.normal(size=(6, 9, 128)), np.float32)
-
-        def loss_pallas(x, s, b):
-            return jnp.sum(ln_pallas(x, s, b, 1e-6, True) * w)
-
-        def loss_xla(x, s, b):
-            return jnp.sum(self._xla_ln(x, s, b) * w)
-
-        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, scale, bias)
-        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(x, scale, bias)
-        for a, b_ in zip(gp, gx):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4
-            )
-
-    def test_grad_parity_multi_tile(self, rng_np):
-        """Row count > tile size exercises the dscale/dbias accumulation
-        across grid steps (init at step 0, += after)."""
-        from cross_scale_mae_tpu.ops.layernorm import _row_tile, ln_pallas
-
-        m = 48  # tile 16 -> 3 grid steps
-        assert _row_tile(m) < m
-        x = jnp.asarray(rng_np.normal(size=(m, 128)), np.float32)
-        scale = jnp.asarray(rng_np.normal(size=128), np.float32)
-        bias = jnp.asarray(rng_np.normal(size=128), np.float32)
-
-        def loss(f):
-            def inner(x, s, b):
-                return jnp.sum(f(x, s, b) ** 2)
-            return inner
-
-        gp = jax.grad(
-            loss(lambda x, s, b: ln_pallas(x, s, b, 1e-6, True)),
-            argnums=(0, 1, 2),
-        )(x, scale, bias)
-        gx = jax.grad(loss(self._xla_ln), argnums=(0, 1, 2))(x, scale, bias)
-        for a, b_ in zip(gp, gx):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4
-            )
-
-    def test_applicability_gate(self):
-        from cross_scale_mae_tpu.ops.layernorm import ln_applicable
-
-        # CPU backend in tests -> never applicable (kernel needs TPU).
-        assert not ln_applicable(jnp.zeros((8, 128)))
