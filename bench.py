@@ -36,7 +36,8 @@ import time
 BASELINE_REF_IMGS_PER_SEC_PER_CHIP = 380.0
 
 
-def _setup(scan_blocks=False, attention_impl="pallas_v3", batch_crop=False):
+def _setup(scan_blocks=False, attention_impl="pallas_v3", batch_crop=False,
+           batch_per_chip=None):
     import jax
     import numpy as np
 
@@ -65,7 +66,13 @@ def _setup(scan_blocks=False, attention_impl="pallas_v3", batch_crop=False):
         scan_blocks=scan_blocks, attention_impl=attention_impl,
         ms_per_sample_crop=not batch_crop,
     )
-    batch_per_chip = 256 if attention_impl == "pallas_v3" else 128
+    if batch_per_chip is None:
+        # Round-3 batch sweep (b256 2378 / b384 2410-2430 / b512 2399):
+        # 384 is the measured knee — larger batches stop paying once the
+        # fixed per-step overheads (pallas dispatch, AdamW, formatting)
+        # are amortized, and b512's extra activation pressure costs more
+        # than it buys.
+        batch_per_chip = 384 if attention_impl == "pallas_v3" else 128
     batch = batch_per_chip * n_chips
     tcfg = TrainConfig(epochs=400, warmup_epochs=40, batch_size=batch, blr=5e-5)
     mesh = make_mesh(model_parallel=1)
@@ -80,7 +87,7 @@ def _setup(scan_blocks=False, attention_impl="pallas_v3", batch_crop=False):
     return cfg, tcfg, schedule, mesh, state, imgs, batch, n_chips
 
 
-def run_fused(n_steps: int = 10) -> float:
+def run_fused(n_steps: int = 10, batch_per_chip: int | None = None) -> float:
     """Production path: everything in one donated XLA program."""
     import jax
     import jax.numpy as jnp
@@ -90,7 +97,9 @@ def run_fused(n_steps: int = 10) -> float:
     from cross_scale_mae_tpu.parallel import batch_sharding
     from cross_scale_mae_tpu.train.pretrain import make_pretrain_step
 
-    cfg, tcfg, schedule, mesh, state, imgs, batch, n_chips = _setup()
+    cfg, tcfg, schedule, mesh, state, imgs, batch, n_chips = _setup(
+        batch_per_chip=batch_per_chip
+    )
     augment = make_pretrain_augment(
         FMOW_RGB_MEAN, FMOW_RGB_STD, cfg.input_size, dtype=cfg.compute_dtype
     )
@@ -113,7 +122,7 @@ def run_fused(n_steps: int = 10) -> float:
     return batch * n_steps / dt / n_chips
 
 
-def run_ref_proxy(n_steps: int = 10) -> float:
+def run_ref_proxy(n_steps: int = 10, batch_per_chip: int | None = None) -> float:
     """Reference-semantics mode, measured (see module docstring)."""
     import jax
     import jax.numpy as jnp
@@ -126,7 +135,7 @@ def run_ref_proxy(n_steps: int = 10) -> float:
     # Reference crop semantics: ONE shared RandomResizedCrop box per batch
     # (MAE_ViT_MsLd.py:29-35 applies torchvision's module to the batch).
     cfg, tcfg, schedule, mesh, state, imgs, batch, n_chips = _setup(
-        batch_crop=True
+        batch_crop=True, batch_per_chip=batch_per_chip
     )
     augment = make_pretrain_augment(
         FMOW_RGB_MEAN, FMOW_RGB_STD, cfg.input_size, dtype=cfg.compute_dtype
@@ -168,9 +177,11 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--skip_proxy", action="store_true",
                    help="headline number only (faster; proxy recompiles)")
+    p.add_argument("--batch_per_chip", type=int, default=None,
+                   help="override the per-chip batch (default 256)")
     args = p.parse_args()
 
-    per_chip = run_fused(args.steps)
+    per_chip = run_fused(args.steps, args.batch_per_chip)
     proxy = None if args.skip_proxy else run_ref_proxy(args.steps)
     result = {
         "metric": "pretrain_imgs_per_sec_per_chip_vitb_msldcecd_128px",
