@@ -178,7 +178,9 @@ def main():
     p.add_argument("--skip_proxy", action="store_true",
                    help="headline number only (faster; proxy recompiles)")
     p.add_argument("--batch_per_chip", type=int, default=None,
-                   help="override the per-chip batch (default 256)")
+                   help="override the per-chip batch (default 384, the "
+                        "measured knee; floors in benchmarks/expected.json "
+                        "are recorded at that default)")
     args = p.parse_args()
 
     per_chip = run_fused(args.steps, args.batch_per_chip)

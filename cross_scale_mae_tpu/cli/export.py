@@ -46,11 +46,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# Dataset families whose loaders normalize on the host (SentinelNormalize),
-# mirroring data/datasets.py normalize_on_device=False.
-_HOST_NORMALIZED = ("fmow_sentinel", "euro_sat")
-
-
 def get_args_parser():
     p = argparse.ArgumentParser("Cross-Scale MAE serving export (TPU)",
                                 add_help=False)
@@ -82,7 +77,10 @@ def get_args_parser():
 def main(args) -> dict:
     from jax import export as jexport
 
-    from cross_scale_mae_tpu.data.datasets import DATASET_STATS
+    from cross_scale_mae_tpu.data.datasets import (
+        DATASET_STATS,
+        normalize_on_device_for,
+    )
     from cross_scale_mae_tpu.models import mae_encode
     from cross_scale_mae_tpu.ops.augment import make_eval_preprocess
     from cross_scale_mae_tpu.viz import prepare_model
@@ -100,7 +98,10 @@ def main(args) -> dict:
             f"known: {sorted(DATASET_STATS)}"
         )
     mean, std = DATASET_STATS[args.dataset_type]
-    normalize = args.dataset_type not in _HOST_NORMALIZED
+    # Host-normalized families (SentinelNormalize) must NOT get a second
+    # on-device normalize baked into the artifact; the flag lives on the
+    # dataset classes (single source of truth, data/datasets.py).
+    normalize = normalize_on_device_for(args.dataset_type)
     if normalize and len(mean) != cfg.input_channels:
         raise SystemExit(
             f"--dataset_type {args.dataset_type} has {len(mean)}-channel "

@@ -425,10 +425,19 @@ def _plot_epoch_recon(state, cfg, dataset, mean, std, output_dir, epoch,
             sorted(
                 os.path.join(val_img_path, f)
                 for f in os.listdir(val_img_path)
-                if f.lower().endswith((".jpg", ".jpeg", ".png"))
+                if f.lower().endswith(
+                    (".jpg", ".jpeg", ".png", ".tif", ".tiff", ".bmp")
+                )
             )
             if os.path.isdir(val_img_path) else [val_img_path]
         )
+        if not files:
+            # The user explicitly asked for these images; silently plotting
+            # dataset sample 0 for the whole run instead would be a trap.
+            raise FileNotFoundError(
+                f"--val_img_path {val_img_path!r}: no image files "
+                f"(.jpg/.jpeg/.png/.tif/.tiff/.bmp) found"
+            )
         batches = [
             (prepare_image(f, cfg, mean, std),
              os.path.splitext(os.path.basename(f))[0])

@@ -356,6 +356,29 @@ class SyntheticDataset(Dataset):
         return img, int(self.labels[index])
 
 
+_DATASET_CLASSES: dict[str, type] = {
+    "fmow_rgb": FmowRgbDataset,
+    "coco": GlobDataset,
+    "euro_sat": EurosatDataset,
+    "fmow_sentinel": SentinelDataset,
+    "naip": NaipDataset,
+    "synthetic": SyntheticDataset,
+}
+
+
+def normalize_on_device_for(dataset_type: str) -> bool:
+    """Single source of truth for whether a dataset family's pipeline
+    normalizes on device (True) or host-side in the loader (the
+    SentinelNormalize families, False). Consumed by cli/export.py so the
+    serving artifact bakes exactly the normalization the training
+    pipeline did NOT already apply — a parallel hardcoded list there
+    would silently drift when a family is added or renamed."""
+    cls = _DATASET_CLASSES.get(dataset_type)
+    if cls is None:
+        raise ValueError(f"Invalid dataset type: {dataset_type}")
+    return bool(getattr(cls, "normalize_on_device", True))
+
+
 def build_dataset(
     dataset_type: str,
     is_train: bool,

@@ -350,9 +350,13 @@ def random_erasing(
     for r in range(count):
         k = jax.random.fold_in(rng, r)
         _, k_area, k_aspect, k_y, k_x, k_noise = jax.random.split(k, 6)
+        # timm divides the drawn target area by `count` (RandomErasing._erase:
+        # `* area / count`) so the TOTAL erased fraction stays in area_range
+        # regardless of --recount; without it count=3 erases ~3x the
+        # intended area.
         area = jax.random.uniform(
             k_area, (n,), minval=area_range[0], maxval=area_range[1]
-        ) * (h * w)
+        ) * (h * w / count)
         log_ar = (jnp.log(aspect_range[0]), jnp.log(aspect_range[1]))
         ar = jnp.exp(jax.random.uniform(k_aspect, (n,), minval=log_ar[0],
                                         maxval=log_ar[1]))

@@ -151,13 +151,15 @@ def make_eval_step(cfg: ViTClassifierConfig, preprocess: Callable | None = None)
         oh_true = jax.nn.one_hot(labels, cfg.num_classes, dtype=jnp.float32)
         oh_pred = jax.nn.one_hot(top1, cfg.num_classes, dtype=jnp.float32)
         cm = jnp.einsum("bt,bp->tp", oh_true * v[:, None], oh_pred)
+        # No per-row outputs besides logits (one test consumer): returning
+        # batch-sharded rows invites host-side reads whose sharding jit
+        # does not pin — the exact multi-host hazard the in-graph cm fixed.
         return dict(
             loss=jnp.sum(per_loss * v) / n,
             acc1=jnp.sum(correct1 * v) / n,
             acc5=jnp.sum(correctk * v) / n,
             n=jnp.sum(v),
             cm=cm,
-            pred=top1,
             logits=logits,
         )
 

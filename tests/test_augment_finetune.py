@@ -293,3 +293,22 @@ def test_make_finetune_augment_full_chain():
     assert a.shape == b.shape == (4, 24, 24, 3)
     assert np.isfinite(np.asarray(a)).all() and np.isfinite(np.asarray(b)).all()
     assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-3
+
+
+def test_random_erasing_count_divides_area():
+    """timm semantics: target area is drawn per-rectangle as
+    uniform(min,max) * area / count, so the TOTAL erased fraction stays
+    within ~area_range whatever --recount is."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((32, 64, 64, 3), jnp.float32)
+    for count in (1, 4):
+        out = np.asarray(random_erasing(
+            jax.random.key(7), x, prob=1.0, mode="const", count=count))
+        frac = (out == 0.0).all(axis=-1).mean(axis=(1, 2))
+        # Upper bound: max_area (1/3) plus clamping slack; a /count
+        # regression at count=4 would push the mean fraction toward ~0.6+.
+        assert frac.mean() < 0.40, (count, float(frac.mean()))
+        assert frac.max() <= 0.55, (count, float(frac.max()))
+        assert frac.min() > 0.0  # every image got at least one rectangle
