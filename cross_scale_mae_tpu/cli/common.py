@@ -148,3 +148,134 @@ def restore_classifier_run(args, state):
 def encode_run_name(**config: Any) -> str:
     """Config-encoded run identity (main_pretrain.py:450-463)."""
     return "-".join(f"{k}_{v}" for k, v in config.items() if v is not None)
+
+
+def add_reference_compat_args(p: argparse.ArgumentParser, role: str):
+    """Accept the remaining reference CLI flags so the reference's exact
+    launcher command lines (train.sh, train_distributed.sh, finetune.sh,
+    linprobe.sh) run unchanged against these entry points.
+
+    Three kinds of flags (full mapping table in docs/MIGRATION.md):
+
+    * real semantics carried: --output_dir_base (main_pretrain.py:467-468),
+      --start_epoch, --wandb_id (main_pretrain.py:310-330), --attn_name
+      (alias of --attention), linprobe --loss (must be classification_cross,
+      main_linprobe.py:562-565), --ffn_name (only MLP is supported without
+      xformers, MAE_ViT_Baseline.py:69-70 — same constraint here);
+    * N/A on this stack, accepted + warned when explicitly set: --device,
+      --pin_mem/--no_pin_mem, --num_workers is real, torch-DDP bootstrap
+      flags (--world_size/--local_rank/--dist_url/--dist_on_itp — JAX
+      discovers devices; multi-host uses --coordinator_address/
+      --num_processes/--process_id), --dist_eval (eval is always sharded
+      here), --use_xformers (attention variants are built in),
+      --transform_checkpoint_keys (checkpoint keys are always remapped
+      correctly here; the reference needs the flag because its default path
+      loads nothing, main_finetune.py:591), --use_psa (mIoU is always
+      computed from the in-graph confusion matrix);
+    * dead in the reference itself, accepted + warned: --print_level (only
+      consumed by the missing shunted models, reference defect #1),
+      --spatial_mask (declared, never read), --resplit (declared, never
+      read — the reference never calls timm's create_transform),
+      --model_type (only skips layer-decay grouping for resnet*, but no
+      resnet can be built from its registry).
+    """
+    g = p.add_argument_group("reference compat")
+    g.add_argument("--output_dir_base", default=None,
+                   help="prepended to --output_dir (main_pretrain.py:467)")
+    g.add_argument("--start_epoch", default=None, type=int,
+                   help="override the epoch to start from (normally "
+                        "restored from --resume)")
+    g.add_argument("--wandb_id", default=None,
+                   help="resume this wandb run id")
+    g.add_argument("--device", default=None, help="N/A: JAX owns devices")
+    g.add_argument("--pin_mem", action="store_true", dest="_compat_pin_mem")
+    g.add_argument("--no_pin_mem", action="store_true",
+                   dest="_compat_no_pin_mem")
+    g.add_argument("--world_size", default=None, type=int,
+                   help="N/A: use --num_processes (hosts, not chips)")
+    g.add_argument("--local_rank", default=None, type=int)
+    g.add_argument("--dist_url", default=None)
+    g.add_argument("--dist_on_itp", action="store_true")
+    if role == "pretrain":
+        g.add_argument("--attn_name", default=None,
+                       help="alias of --attention (train.sh:41)")
+        g.add_argument("--ffn_name", default="MLP",
+                       help="only MLP is supported (MAE_ViT_Baseline.py:69)")
+        g.add_argument("--use_xformers", action="store_true",
+                       help="accepted; attention variants are built in")
+        g.add_argument("--print_level", default=None, type=int,
+                       help="dead in reference (shunted-only)")
+        g.add_argument("--spatial_mask", action="store_true",
+                       help="dead in reference (never read)")
+    else:  # finetune / linprobe
+        g.add_argument("--model_type", default=None,
+                       help="accepted; resnet* cannot be built (dead in "
+                            "reference too)")
+        g.add_argument("--transform_checkpoint_keys", action="store_true",
+                       help="accepted; keys are always remapped here")
+        g.add_argument("--dist_eval", action="store_true",
+                       help="accepted; eval is always sharded here")
+        g.add_argument("--use_psa", action="store_true",
+                       help="accepted; mIoU is always computed here")
+        if role == "linprobe":
+            g.add_argument("--loss", default="classification_cross",
+                           help="must be classification_cross "
+                                "(main_linprobe.py:562-565)")
+            g.add_argument("--use_xformers", action="store_true")
+            g.add_argument("--norm_pix_loss", action="store_true",
+                           help="dead in reference's linprobe (never read)")
+            g.add_argument("--print_level", default=None, type=int)
+            g.add_argument("--spatial_mask", action="store_true")
+        else:
+            g.add_argument("--resplit", action="store_true",
+                           help="dead in reference (never read)")
+
+
+def apply_reference_compat(args, role: str):
+    """Resolve the compat flags added by add_reference_compat_args.
+
+    Mutates args in place (output_dir join, attn_name alias) and validates
+    the reference's own constraints. Call before setup_runtime."""
+    from cross_scale_mae_tpu.utils.logging import rank0_print
+
+    if getattr(args, "output_dir_base", None):
+        # main_pretrain.py:467-468: output_dir = base/output_dir.
+        args.output_dir = os.path.join(args.output_dir_base, args.output_dir)
+    attn_name = getattr(args, "attn_name", None)
+    if attn_name is not None:
+        if attn_name == "shunted":
+            raise ValueError(
+                "--attn_name shunted maps to modules missing from the "
+                "reference (its defect #1) and is not carried")
+        args.attention = attn_name
+    if getattr(args, "ffn_name", "MLP") != "MLP":
+        # Mirrors the reference's own assert (MAE_ViT_Baseline.py:69-70).
+        raise ValueError(
+            f"Feedforward {args.ffn_name} not supported: only MLP")
+    if role == "linprobe" and args.loss != "classification_cross":
+        raise ValueError("Only classification_cross is supported "
+                         "(main_linprobe.py:562-565)")
+    ignored = [
+        name for name in ("device", "world_size", "local_rank", "dist_url")
+        if getattr(args, name, None) not in (None, "")
+    ]
+    ignored += [
+        flag for flag, attr in (
+            ("pin_mem", "_compat_pin_mem"), ("no_pin_mem", "_compat_no_pin_mem"),
+            ("dist_on_itp", "dist_on_itp"), ("use_xformers", "use_xformers"),
+            ("spatial_mask", "spatial_mask"), ("resplit", "resplit"),
+            ("dist_eval", "dist_eval"), ("use_psa", "use_psa"),
+            ("transform_checkpoint_keys", "transform_checkpoint_keys"),
+            ("norm_pix_loss", "norm_pix_loss") if role == "linprobe" else
+            ("", ""),
+        ) if flag and getattr(args, attr, False)
+    ]
+    if getattr(args, "print_level", None) is not None:
+        ignored.append("print_level")
+    if getattr(args, "model_type", None):
+        ignored.append("model_type")
+    if ignored:
+        rank0_print(
+            "reference-compat flags accepted but not applicable here: "
+            + ", ".join(f"--{n}" for n in ignored)
+            + " (see docs/MIGRATION.md)")

@@ -27,7 +27,9 @@ import jax.numpy as jnp
 from cross_scale_mae_tpu.cli.common import (
     restore_classifier_run,
     add_data_args,
+    add_reference_compat_args,
     add_runtime_args,
+    apply_reference_compat,
     encode_run_name,
     make_loader,
     setup_runtime,
@@ -109,6 +111,7 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="unrolled layer loop (faster steps, slower compile)")
     add_data_args(p, pretrain=False)
     add_runtime_args(p)
+    add_reference_compat_args(p, "finetune")
     return p
 
 
@@ -239,6 +242,7 @@ def evaluate(
 
 
 def main(args) -> dict:
+    apply_reference_compat(args, "finetune")
     ctx = setup_runtime(args)
     mesh = ctx["mesh"]
 
@@ -328,6 +332,8 @@ def main(args) -> dict:
     # Mid-run restore (util/misc.py:382-411: model+optimizer+epoch; the
     # reference wires --resume for all three entry points).
     state, start_epoch, max_acc = restore_classifier_run(args, state)
+    if args.start_epoch is not None:
+        start_epoch = args.start_epoch
 
     mean, std = train_ds.mean, train_ds.std
     augment = make_finetune_augment(
@@ -360,7 +366,8 @@ def main(args) -> dict:
     output_dir = auto_output_dir(args.output_dir, run=run_name)
     logger = RunLogger(output_dir, args.use_tensorboard, args.use_wandb,
                        args.wandb_project, run_name,
-                       wandb_entity=args.wandb_entity)
+                       wandb_entity=args.wandb_entity,
+                       wandb_id=args.wandb_id)
 
     from cross_scale_mae_tpu.data.loader import device_prefetch
 

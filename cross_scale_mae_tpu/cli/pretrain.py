@@ -27,7 +27,9 @@ import jax.numpy as jnp
 
 from cross_scale_mae_tpu.cli.common import (
     add_data_args,
+    add_reference_compat_args,
     add_runtime_args,
+    apply_reference_compat,
     encode_run_name,
     make_loader,
     setup_runtime,
@@ -118,6 +120,7 @@ def get_args_parser() -> argparse.ArgumentParser:
                         "the reference refer to this preset.")
     add_data_args(p, pretrain=True)
     add_runtime_args(p)
+    add_reference_compat_args(p, "pretrain")
     return p
 
 
@@ -143,6 +146,7 @@ def apply_reference_semantics(args) -> None:
 
 
 def main(args) -> dict:
+    apply_reference_compat(args, "pretrain")
     apply_reference_semantics(args)
     ctx = setup_runtime(args)
     mesh = ctx["mesh"]
@@ -254,6 +258,11 @@ def main(args) -> dict:
         state, meta = restore_checkpoint(args.resume, state)
         start_epoch = int(meta.get("epoch", 0)) + 1
         rank0_print(f"resumed from {args.resume} at epoch {start_epoch}")
+    if args.start_epoch is not None:
+        # Explicit reference-style override (main_pretrain.py --start_epoch;
+        # there it is what --resume restores INTO, here resume already set
+        # it, so the flag wins only when given).
+        start_epoch = args.start_epoch
 
     # ---- augmentation fused into the step
     mean, std = dataset.mean, dataset.std
@@ -287,7 +296,7 @@ def main(args) -> dict:
     logger = RunLogger(
         output_dir, args.use_tensorboard, args.use_wandb, args.wandb_project,
         run_name, config={**json.loads(cfg.to_json()), "vgg_trunk": vgg_trunk},
-        wandb_entity=args.wandb_entity,
+        wandb_entity=args.wandb_entity, wandb_id=args.wandb_id,
     )
     rank0_print(f"output dir: {output_dir}")
 

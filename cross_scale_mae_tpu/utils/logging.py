@@ -38,6 +38,7 @@ class RunLogger:
         run_name: Optional[str] = None,
         config: Optional[dict] = None,
         wandb_entity: Optional[str] = None,
+        wandb_id: Optional[str] = None,
     ):
         import jax
 
@@ -69,8 +70,11 @@ class RunLogger:
                 import wandb
 
                 self._wandb = wandb
+                # --wandb_id resumes a prior run (main_pretrain.py:510-530).
                 wandb.init(project=wandb_project, entity=wandb_entity,
-                           name=run_name, config=config or {})
+                           name=run_name, config=config or {},
+                           id=wandb_id,
+                           resume="allow" if wandb_id else None)
             except ImportError:
                 rank0_print("wandb unavailable; skipping wandb logging")
 
