@@ -1,0 +1,285 @@
+"""Torch-checkpoint EXPORT tests (utils/torch_export.py).
+
+Two independent proofs:
+
+1. Round-trip: our params -> .pth -> utils/torch_import -> identical pytree
+   (the importer is itself golden-tested against torch twins and real
+   reference naming, so a clean round-trip pins the exporter to the same
+   contract from the other side).
+2. Strict load into the REFERENCE'S OWN model class: models_mae/
+   MAE_ViT_MsLdCeCd.py is importlib-loaded from /root/reference (timm /
+   xformers / torchvision stubbed with shape-faithful minimal Modules) and
+   ``load_state_dict(exported, strict=True)`` must succeed — this checks
+   the full key inventory (incl. the persistent ``encoder_pos_embed`` /
+   ``decoder_pos_embed`` Parameters, MAE_ViT_Baseline.py:81-90, and the
+   predictor BatchNorm running stats, models_mae/MLP.py) against reference
+   code, not against our own assumptions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+import jax  # noqa: E402
+
+from cross_scale_mae_tpu.configs import get_mae_config, get_vit_config  # noqa: E402
+from cross_scale_mae_tpu.models import mae_init  # noqa: E402
+from cross_scale_mae_tpu.models.vit import vit_init  # noqa: E402
+from cross_scale_mae_tpu.utils.torch_export import (  # noqa: E402
+    classifier_state_dict,
+    mae_state_dict,
+    reference_args,
+    reference_model_name,
+    save_torch_checkpoint,
+)
+from cross_scale_mae_tpu.utils.torch_import import (  # noqa: E402
+    import_classifier_checkpoint,
+    import_mae_checkpoint,
+)
+
+REF = pathlib.Path("/root/reference")
+
+
+def _tree_allclose(a, b, atol=0.0):
+    flat_a = jax.tree_util.tree_leaves_with_path(a)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(b))
+    assert len(flat_a) == len(flat_b)
+    for kp, leaf in flat_a:
+        np.testing.assert_allclose(
+            np.asarray(leaf, np.float32), np.asarray(flat_b[kp], np.float32),
+            atol=atol, err_msg=str(kp))
+
+
+# ------------------------------------------------------------- round-trip
+
+
+def test_mae_roundtrip(tmp_path):
+    cfg = get_mae_config(
+        "mae_vit_tiny_MsLdCeCd", input_size=32, patch_size=8,
+        compute_dtype="float32")
+    params, state = mae_init(jax.random.key(3), cfg)
+    path = str(tmp_path / "export.pth")
+    save_torch_checkpoint(path, mae_state_dict(params, cfg, state),
+                          reference_args(cfg), epoch=7)
+
+    back = import_mae_checkpoint(path, cfg)
+    # The importer does not read BN running stats / pos-embed tables; it
+    # returns exactly the trainable params pytree.
+    _tree_allclose(back, params)
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    assert ckpt["epoch"] == 7
+    assert vars(ckpt["args"])["model"] == "mae_vit_tiny_MsLdCeCd"
+    assert vars(ckpt["args"])["patch_size"] == "8"  # reference type=str quirk
+    # Predictor BN running stats travel from model_state.
+    assert np.allclose(ckpt["model"]["predictor.1.running_var"].numpy(),
+                       np.asarray(state["predictor_cd"]["bn"]["var"]))
+
+
+def test_classifier_roundtrip(tmp_path):
+    cfg = get_vit_config(
+        "vit_base_patch16", input_size=32, patch_size=8, embed_dim=64,
+        depth=2, num_heads=4, num_classes=5, global_pool=True,
+        compute_dtype="float32")
+    params, _state = vit_init(jax.random.key(4), cfg)
+    path = str(tmp_path / "classifier.pth")
+    save_torch_checkpoint(path, classifier_state_dict(params, cfg))
+    back = import_classifier_checkpoint(path, cfg)
+    _tree_allclose(back, params)
+
+
+def test_reference_model_name():
+    assert reference_model_name(
+        get_mae_config("mae_vit_base_MsLdCeCd")) == "mae_vit_base_MsLdCeCd"
+    assert reference_model_name(get_mae_config("mae_vit_large")) == \
+        "mae_vit_large"
+    assert reference_model_name(
+        get_mae_config("mae_vit_base", dim_model=777)) is None
+    with pytest.raises(ValueError, match="reference registry"):
+        reference_args(get_mae_config("mae_vit_base", dim_model=777))
+
+
+# --------------------------------------- strict load into the reference
+
+
+def _install_model_stubs():
+    """Shape-faithful minimal stand-ins for the reference's heavy deps.
+    Module/param NAMES inside blocks follow timm 0.4.12 (the importer's
+    golden twins already pin those); the test's value is the TOP-LEVEL
+    inventory, which comes from the reference's own constructors."""
+    if "timm.models.vision_transformer" not in sys.modules:
+        class _Attn(nn.Module):
+            def __init__(self, dim):
+                super().__init__()
+                self.qkv = nn.Linear(dim, dim * 3)
+                self.proj = nn.Linear(dim, dim)
+
+        class Block(nn.Module):
+            def __init__(self, dim, num_heads, mlp_ratio=4.0, qkv_bias=True,
+                         drop=0.0, attn_drop=0.0, drop_path=0.0,
+                         norm_layer=nn.LayerNorm, **kw):
+                super().__init__()
+                self.norm1 = norm_layer(dim)
+                self.attn = _Attn(dim)
+                self.norm2 = norm_layer(dim)
+
+                class Mlp(nn.Module):
+                    def __init__(self):
+                        super().__init__()
+                        self.fc1 = nn.Linear(dim, int(dim * mlp_ratio))
+                        self.fc2 = nn.Linear(int(dim * mlp_ratio), dim)
+
+                self.mlp = Mlp()
+
+        class PatchEmbed(nn.Module):
+            def __init__(self, img_size, patch_size, in_chans, embed_dim):
+                super().__init__()
+                self.patch_size = (patch_size, patch_size)
+                self.num_patches = (img_size // patch_size) ** 2
+                self.proj = nn.Conv2d(in_chans, embed_dim,
+                                      kernel_size=patch_size,
+                                      stride=patch_size)
+
+        timm = types.ModuleType("timm")
+        timm.__path__ = []  # mark as package (MAE_ViT_Shared: from timm.loss)
+        models = types.ModuleType("timm.models")
+        vt = types.ModuleType("timm.models.vision_transformer")
+        vt.Block, vt.PatchEmbed = Block, PatchEmbed
+        models.vision_transformer = vt
+        timm.models = models
+        loss = types.ModuleType("timm.loss")
+        loss.SoftTargetCrossEntropy = object  # imported, unused here
+        timm.loss = loss
+        sys.modules.update({"timm": timm, "timm.models": models,
+                            "timm.models.vision_transformer": vt,
+                            "timm.loss": loss})
+    if "xformers.factory" not in sys.modules:
+        xf = types.ModuleType("xformers")
+        factory = types.ModuleType("xformers.factory")
+        factory.xFormer = object
+        factory.xFormerConfig = object
+        xf.factory = factory
+        sys.modules.update({"xformers": xf, "xformers.factory": factory})
+    # torchvision may already be stubbed by tests/test_reference_parity.py
+    # (plain-class RandomResizedCrop for util/crop.py). The reference's
+    # MsLd wraps it in nn.Sequential (MAE_ViT_MsLd.py:29-35), which needs a
+    # real nn.Module — UPGRADE the existing stub in place instead of
+    # skipping (order-dependent test pollution otherwise).
+    class _RRC(nn.Module):  # constructor-only use here
+        def __init__(self, *a, **kw):
+            super().__init__()
+
+        @staticmethod
+        def get_params(*a, **kw):  # util/crop.py overrides this anyway
+            raise NotImplementedError
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        transforms = types.ModuleType("torchvision.transforms")
+        functional = types.ModuleType("torchvision.transforms.functional")
+        # util/crop.py:23 (loaded by tests/test_reference_parity.py, which
+        # skips its own stub install when torchvision already exists).
+        functional._get_image_size = lambda img: (img.shape[-1],
+                                                  img.shape[-2])
+        transforms.functional = functional
+        tv.transforms = transforms
+        sys.modules.update({
+            "torchvision": tv,
+            "torchvision.transforms": transforms,
+            "torchvision.transforms.functional": functional,
+        })
+    sys.modules["torchvision"].transforms.RandomResizedCrop = _RRC
+    if "pytorch_msssim" not in sys.modules:
+        m = types.ModuleType("pytorch_msssim")
+        m.ssim = m.ms_ssim = None
+        sys.modules["pytorch_msssim"] = m
+    # Package shells pointing at the reference tree WITHOUT executing
+    # models_mae/__init__.py (its imports of 4 missing modules raise —
+    # reference defect #1, SURVEY.md).
+    for pkg_name, sub in (("models_mae", "models_mae"), ("util", "util")):
+        if pkg_name not in sys.modules:
+            pkg = types.ModuleType(pkg_name)
+            pkg.__path__ = [str(REF / sub)]
+            sys.modules[pkg_name] = pkg
+
+
+@pytest.mark.slow
+def test_export_torch_cli_end_to_end(tmp_path):
+    """Tiny pretrain run -> cli.export_torch -> reference-schema .pth that
+    re-imports to the trained params."""
+    from cross_scale_mae_tpu.cli import export_torch, pretrain
+    from cross_scale_mae_tpu.configs import MAEConfig
+
+    out = str(tmp_path / "pt")
+    res = pretrain.main(pretrain.get_args_parser().parse_args([
+        "--model", "mae_vit_tiny_MsLdCeCd", "--dataset_type", "synthetic",
+        "--synthetic_len", "32", "--input_size", "16", "--patch_size", "8",
+        "--batch_size", "16", "--epochs", "1", "--warmup_epochs", "0",
+        "--ckpt_interval", "1", "--output_dir", out,
+        "--compute_dtype", "float32", "--log_interval", "2",
+    ]))
+    ckpt = os.path.join(res["output_dir"], "checkpoints")
+    pth = str(tmp_path / "checkpoint-ref.pth")
+    info = export_torch.main(export_torch.get_args_parser().parse_args([
+        "--ckpt", ckpt, "--output", pth,
+    ]))
+    assert info["model"] == "mae_vit_tiny_MsLdCeCd"
+    assert os.path.getsize(pth) == info["size_bytes"]
+
+    ckpt_obj = torch.load(pth, map_location="cpu", weights_only=False)
+    ref_args = vars(ckpt_obj["args"])
+    cfg = MAEConfig.from_json(
+        json.dumps(json.load(open(os.path.join(
+            ckpt, f"meta-{res['steps']}.json")))["config"]))
+    back = import_mae_checkpoint(pth, cfg)
+    # Exported values are the TRAINED params (not inits): compare against
+    # the checkpoint restored through the framework's own path.
+    from cross_scale_mae_tpu.viz import prepare_model
+
+    params, _state, _ = prepare_model(ckpt)
+    _tree_allclose(back, params)
+    assert ref_args["patch_size"] == "8"
+
+
+@pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
+def test_strict_load_into_reference_msldcecd(tmp_path):
+    _install_model_stubs()
+    import importlib
+
+    mod = importlib.import_module("models_mae.MAE_ViT_MsLdCeCd")
+
+    cfg = get_mae_config(
+        "mae_vit_tiny_MsLdCeCd", input_size=32, patch_size=8,
+        compute_dtype="float32")
+    params, state = mae_init(jax.random.key(5), cfg)
+    sd = mae_state_dict(params, cfg, state)
+
+    ref_model = mod.MAE_ViT_MsLdCeCd(
+        input_size=32, patch_size=8, dim_model=cfg.dim_model,
+        encoder_num_layers=cfg.encoder_num_layers,
+        encoder_num_heads=cfg.encoder_num_heads,
+        decoder_embed_dim=cfg.decoder_embed_dim,
+        decoder_num_layers=cfg.decoder_num_layers,
+        decoder_num_heads=cfg.decoder_num_heads,
+        use_xformers=False,
+    )
+    tensors = {k: torch.from_numpy(np.array(v, copy=True))
+               for k, v in sd.items()}
+    ref_model.load_state_dict(tensors, strict=True)  # raises on any gap
+    # And the values actually landed (spot-check both pos-embed tables and
+    # one deep block weight).
+    got = ref_model.state_dict()
+    for key in ("encoder_pos_embed", "decoder_pos_embed",
+                "decoder.1.mlp.fc2.weight", "predictor.1.running_mean"):
+        np.testing.assert_allclose(got[key].numpy(), sd[key], atol=0,
+                                   err_msg=key)
