@@ -23,7 +23,9 @@ def get_args_parser():
     p = argparse.ArgumentParser(
         "Cross-Scale MAE torch-checkpoint export", add_help=False)
     p.add_argument("--ckpt", required=True,
-                   help="pretrain checkpoint dir (config travels with it)")
+                   help="checkpoint dir (config travels with it); pretrain "
+                        "runs export as MAE .pth, finetune/linprobe runs as "
+                        "models_vit classifier .pth (auto-detected)")
     p.add_argument("--step", default=None, type=int,
                    help="checkpoint step (default: newest)")
     p.add_argument("--output", required=True, help="output .pth path")
@@ -52,29 +54,67 @@ def _prefer_cpu() -> None:
         pass  # fall back to the default platform
 
 
+def _load_classifier(ckpt_dir: str, step: int):
+    """Rebuild a finetune/linprobe run from its config sidecar (the
+    classifier analogue of viz.prepare_model)."""
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from cross_scale_mae_tpu.configs import ViTClassifierConfig
+    from cross_scale_mae_tpu.models.vit import vit_init
+    from cross_scale_mae_tpu.utils.checkpoint import _abs
+
+    meta_path = os.path.join(_abs(ckpt_dir), f"meta-{step}.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    cfg = ViTClassifierConfig.from_json(json.dumps(meta["config"]))
+    params, state = vit_init(jax.random.key(0), cfg)
+    with ocp.CheckpointManager(_abs(ckpt_dir)) as mgr:
+        restored = mgr.restore(step, args=ocp.args.StandardRestore())
+    params = jax.tree.map(
+        lambda t, r: jnp.asarray(r, t.dtype), params, restored["params"])
+    state = jax.tree.map(
+        lambda t, r: jnp.asarray(r, t.dtype), state,
+        restored["model_state"])
+    return params, state, cfg
+
+
 def main(args) -> dict:
     _prefer_cpu()
     from cross_scale_mae_tpu.utils.checkpoint import latest_step
     from cross_scale_mae_tpu.utils.torch_export import (
+        classifier_args,
+        classifier_state_dict,
         mae_state_dict,
         reference_args,
         save_torch_checkpoint,
     )
-    from cross_scale_mae_tpu.viz import prepare_model
 
-    params, model_state, cfg = prepare_model(args.ckpt, args.step)
-    sd = mae_state_dict(params, cfg, model_state)
-    ref_args = reference_args(cfg, args.model_name)
+    step = args.step if args.step is not None else latest_step(args.ckpt)
+    assert step is not None, f"no checkpoints in {args.ckpt}"
+    meta_path = os.path.join(os.path.abspath(args.ckpt), f"meta-{step}.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    # Auto-detect checkpoint kind from the config sidecar: MAE pretrain
+    # configs carry dim_model, classifier configs carry embed_dim.
+    is_classifier = "embed_dim" in meta.get("config", {})
 
-    epoch = args.epoch
-    if epoch is None:
-        step = args.step if args.step is not None else latest_step(args.ckpt)
-        meta_path = os.path.join(
-            os.path.abspath(args.ckpt), f"meta-{step}.json")
-        epoch = 0
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                epoch = int(json.load(f).get("epoch", 0))
+    if is_classifier:
+        params, model_state, cfg = _load_classifier(args.ckpt, step)
+        sd = classifier_state_dict(params, cfg, model_state)
+        ref_args = classifier_args(cfg, args.model_name)
+    else:
+        from cross_scale_mae_tpu.viz import prepare_model
+
+        params, model_state, cfg = prepare_model(args.ckpt, step)
+        sd = mae_state_dict(params, cfg, model_state)
+        ref_args = reference_args(cfg, args.model_name)
+
+    epoch = args.epoch if args.epoch is not None else int(
+        meta.get("epoch", 0))
 
     save_torch_checkpoint(args.output, sd, ref_args, epoch=epoch)
     result = {

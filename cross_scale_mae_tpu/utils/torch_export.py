@@ -226,6 +226,36 @@ def reference_args(cfg: MAEConfig, model_name: Optional[str] = None) -> dict:
     return args
 
 
+def classifier_reference_name(cfg) -> Optional[str]:
+    """The ``models_vit`` factory name (models_vit.py:63-99) matching this
+    classifier config's stack, or None for custom sizes."""
+    from cross_scale_mae_tpu.configs import _VIT_SIZES
+
+    for name, kw in _VIT_SIZES.items():
+        if (kw["embed_dim"], kw["depth"], kw["num_heads"]) == (
+                cfg.embed_dim, cfg.depth, cfg.num_heads):
+            return name
+    return None
+
+
+def classifier_args(cfg, model_name: Optional[str] = None) -> dict:
+    """``args`` payload for a classifier checkpoint (what main_finetune /
+    main_linprobe would have stored for their own --resume path)."""
+    name = model_name or classifier_reference_name(cfg)
+    if name is None:
+        raise ValueError(
+            "classifier config does not match a models_vit factory "
+            "(custom size); pass model_name= to force one"
+        )
+    return {
+        "model": name,
+        "input_size": cfg.input_size,
+        "nb_classes": cfg.num_classes,
+        "global_pool": cfg.global_pool,
+        "drop_path": cfg.drop_path_rate,
+    }
+
+
 def save_torch_checkpoint(
     path: str,
     state_dict: Mapping[str, np.ndarray],

@@ -251,6 +251,44 @@ def test_export_torch_cli_end_to_end(tmp_path):
     assert ref_args["patch_size"] == "8"
 
 
+@pytest.mark.slow
+def test_export_torch_cli_classifier(tmp_path):
+    """Linprobe run -> classifier .pth (auto-detected from the sidecar),
+    with the reference's head.0/head.1 Sequential keys for the BN head."""
+    from cross_scale_mae_tpu.cli import export_torch, linprobe, pretrain
+
+    out = str(tmp_path / "pt")
+    res = pretrain.main(pretrain.get_args_parser().parse_args([
+        "--model", "mae_vit_tiny", "--dataset_type", "synthetic",
+        "--synthetic_len", "32", "--input_size", "16", "--patch_size", "8",
+        "--batch_size", "16", "--epochs", "1", "--warmup_epochs", "0",
+        "--ckpt_interval", "1", "--output_dir", out,
+        "--compute_dtype", "float32", "--log_interval", "2",
+    ]))
+    mae_ckpt = os.path.join(res["output_dir"], "checkpoints")
+    lp = linprobe.main(linprobe.get_args_parser().parse_args([
+        "--model", "vit_base_patch16", "--embed_dim", "128", "--depth", "4",
+        "--num_heads", "8", "--input_size", "16", "--patch_size", "8",
+        "--finetune", mae_ckpt, "--dataset_type", "synthetic",
+        "--synthetic_len", "32", "--nb_classes", "3", "--batch_size", "16",
+        "--epochs", "1", "--warmup_epochs", "0", "--ckpt_interval", "1",
+        "--output_dir", str(tmp_path / "lp"), "--log_interval", "2",
+    ]))
+    cls_ckpt = os.path.join(lp["output_dir"], "checkpoints")
+    pth = str(tmp_path / "classifier-ref.pth")
+    info = export_torch.main(export_torch.get_args_parser().parse_args([
+        "--ckpt", cls_ckpt, "--output", pth,
+        "--model_name", "vit_base_patch16",  # toy widths are off-registry
+    ]))
+    assert info["model"] == "vit_base_patch16"
+    ck = torch.load(pth, map_location="cpu", weights_only=False)
+    assert vars(ck["args"])["nb_classes"] == 3
+    for key in ("head.0.running_mean", "head.0.running_var",
+                "head.1.weight", "blocks.3.mlp.fc2.weight", "pos_embed"):
+        assert key in ck["model"], key
+    assert ck["model"]["head.1.weight"].shape == (3, 128)
+
+
 @pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
 def test_strict_load_into_reference_msldcecd(tmp_path):
     _install_model_stubs()
