@@ -1,0 +1,235 @@
+"""SSL-transfer ablation round 2: shape-CONFIGURATION classes + finetune arm.
+
+Follow-up to benchmarks/transfer_ablation.py, whose measured result was an
+honest negative: on texture-frequency classes, a linear probe on a RANDOM
+frozen tiny ViT beats the pretrained one — random patch projections are
+near-ideal texture bases, so toy-scale frozen probes cannot rank SSL
+encoders on texture tasks (docs/VALIDATION.md §8).
+
+This script attacks the two confounds that analysis identified:
+
+1. **Dataset**: classes are defined by spatial CONFIGURATION, not texture.
+   Four area-matched shapes (disk / annulus / cross / two parallel bars)
+   at random position + rotation on a random-grating background with
+   shared gain + pixel noise. Pooled first-order and orientation
+   statistics are (near-)class-uninformative by construction — the
+   cross vs parallel-bars pair in particular shares bar width, total
+   area, and edge-orientation distribution, differing only in
+   arrangement. Texture shortcuts that random-Fourier patch features
+   excel at are gone.
+
+2. **Protocol**: adds the classic low-label FINETUNE arm (pretrained init
+   vs random init, identical recipe — cli/finetune.py, the reference
+   main_finetune.py math). SSL gains are canonically largest here, and
+   finetuning sidesteps the frozen-probe pathology entirely (the head no
+   longer has to be linear in whatever basis the trunk happens to span).
+
+Both arms run with identical hyperparameters and seeds; results are
+recorded in docs/VALIDATION.md §8 whichever way they come out.
+
+Run: python benchmarks/transfer_ablation_shapes.py
+       [--workdir /tmp/csmae_ablate_shapes] [--platform cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
+
+import numpy as np
+
+from transfer_ablation import run_probe, subset_csv
+
+CLASSES = ("disk", "annulus", "cross", "parallel")
+AREA = 400.0  # px^2, matched across classes
+SIZE = 64
+
+
+def _shape_mask(cls: int, size: int, cx: float, cy: float, theta: float):
+    """Boolean mask for one area-matched shape at (cx, cy), rotated theta."""
+    coord = np.arange(size, dtype=np.float32)
+    yy, xx = np.meshgrid(coord, coord, indexing="ij")
+    # Shape-frame coordinates (rotate the frame by -theta around the center).
+    dx, dy = xx - cx, yy - cy
+    u = dx * np.cos(theta) + dy * np.sin(theta)
+    v = -dx * np.sin(theta) + dy * np.cos(theta)
+    if cls == 0:  # disk, pi r^2 = AREA
+        r2 = AREA / np.pi
+        return u * u + v * v <= r2
+    if cls == 1:  # annulus, outer R=15, inner chosen for area match
+        R = 15.0
+        ri2 = R * R - AREA / np.pi
+        rr = u * u + v * v
+        return (rr <= R * R) & (rr >= ri2)
+    w = 6.0
+    if cls == 2:  # cross: two orthogonal bars, 2wL - w^2 = AREA
+        L = (AREA + w * w) / (2 * w)
+        return ((np.abs(u) <= w / 2) & (np.abs(v) <= L / 2)) | (
+            (np.abs(v) <= w / 2) & (np.abs(u) <= L / 2))
+    # parallel: two bars along v, 2wL = AREA, centers at u = +-d
+    L, d = AREA / (2 * w), 8.0
+    return ((np.abs(u - d) <= w / 2) | (np.abs(u + d) <= w / 2)) & (
+        np.abs(v) <= L / 2)
+
+
+def make_dataset(root: str, n_per_class: int = 400, size: int = SIZE):
+    """Area-matched shapes on random-grating backgrounds (see module doc)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    os.makedirs(root, exist_ok=True)
+    rows_train, rows_val = [], []
+    coord = np.arange(size, dtype=np.float32) - size / 2
+    yy, xx = np.meshgrid(coord, coord, indexing="ij")
+    margin = 20  # max shape half-extent (~L/2 + slack); keeps shapes inside
+    for cls in range(len(CLASSES)):
+        for i in range(n_per_class):
+            # Background: random grating (period/angle/phase all nuisance,
+            # same distribution for every class).
+            period = rng.uniform(5, 18)
+            bg_theta = rng.uniform(0, np.pi)
+            phase = rng.uniform(0, 2 * np.pi)
+            proj = xx * np.cos(bg_theta) + yy * np.sin(bg_theta)
+            bg = 0.5 + 0.18 * np.sin(2 * np.pi * proj / period + phase)
+            # Foreground: brightness offset inside the shape mask.
+            cx = rng.uniform(margin, size - margin)
+            cy = rng.uniform(margin, size - margin)
+            theta = rng.uniform(0, np.pi)
+            mask = _shape_mask(cls, size, cx, cy, theta)
+            img = bg + 0.35 * mask
+            gain = rng.uniform(0.55, 0.95)  # shared across channels
+            arr = np.broadcast_to(img[..., None], (size, size, 3))
+            arr = arr * gain * 200.0 + rng.normal(0, 15, (size, size, 3))
+            arr = np.clip(arr, 0, 255).astype(np.uint8)
+            name = f"{CLASSES[cls]}_{i:04d}.jpg"
+            Image.fromarray(arr).save(os.path.join(root, name), quality=92)
+            (rows_val if i % 5 == 0 else rows_train).append((cls, name))
+    for split, rows in (("train", rows_train), ("val", rows_val)):
+        with open(os.path.join(root, f"{split}.csv"), "w") as f:
+            f.write("category,image_path\n")
+            for cls, name in rows:
+                f.write(f"{cls},{name}\n")
+    return (os.path.join(root, "train.csv"), os.path.join(root, "val.csv"),
+            len(rows_train), len(rows_val))
+
+
+def run_finetune(ckpt: str, train_csv: str, val_csv: str, out_dir: str,
+                 epochs: int, batch_size: int = 32,
+                 blr: float = 1e-3) -> float:
+    """Reference finetune recipe (layer-decay AdamW) on the tiny encoder."""
+    from cross_scale_mae_tpu.cli import finetune
+
+    res = finetune.main(finetune.get_args_parser().parse_args([
+        "--model", "vit_base_patch16", "--embed_dim", "128", "--depth", "4",
+        "--num_heads", "8", "--input_size", str(SIZE), "--patch_size", "8",
+        "--finetune", ckpt, "--dataset_type", "fmow_rgb",
+        "--train_path", train_csv, "--test_path", val_csv,
+        "--nb_classes", "4", "--batch_size", str(batch_size),
+        "--epochs", str(epochs), "--warmup_epochs", "5",
+        "--blr", str(blr), "--output_dir", out_dir, "--log_interval", "50",
+    ]))
+    return float(res["max_acc"])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/csmae_ablate_shapes")
+    ap.add_argument("--epochs", type=int, default=80,
+                    help="pretrain epochs over the 1280-image train split")
+    ap.add_argument("--probe_epochs", type=int, default=15)
+    ap.add_argument("--ft_epochs", type=int, default=60)
+    ap.add_argument("--ft_labels", type=int, default=50,
+                    help="labels per class for the low-label finetune arm")
+    ap.add_argument("--attention", default="xla",
+                    help="pretrain attention impl (xla runs everywhere; "
+                         "pallas_v3 on TPU)")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (CPU run: cpu). sitecustomize "
+                         "pins jax_platforms at import, so the env var alone "
+                         "does not take (tests/conftest.py recipe)")
+    ap.add_argument("--reuse", action="store_true",
+                    help="reuse existing dataset + pretrain checkpoint")
+    args = ap.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    pt_out = os.path.join(args.workdir, "pretrain")
+    ckpt_marker = os.path.join(args.workdir, "ckpt_path.txt")
+    if not (args.reuse and os.path.exists(ckpt_marker)):
+        shutil.rmtree(args.workdir, ignore_errors=True)
+    data = os.path.join(args.workdir, "data")
+    train_csv, val_csv, n_train, n_val = make_dataset(data)
+    print(f"dataset: {n_train} train / {n_val} val (classes {CLASSES}, "
+          f"area-matched {AREA:.0f} px^2)", flush=True)
+
+    # Cross-Scale MAE pretrain on the unlabeled train split.
+    if args.reuse and os.path.exists(ckpt_marker):
+        ckpt = open(ckpt_marker).read().strip()
+        print(f"reusing pretrain checkpoint: {ckpt}", flush=True)
+    else:
+        from cross_scale_mae_tpu.cli import pretrain
+
+        res = pretrain.main(pretrain.get_args_parser().parse_args([
+            "--model", "mae_vit_tiny_MsLdCeCd", "--dataset_type", "fmow_rgb",
+            "--train_path", train_csv, "--input_size", str(SIZE),
+            "--patch_size", "8",
+            "--batch_size", "128", "--epochs", str(args.epochs),
+            "--warmup_epochs", "2", "--ckpt_interval", str(args.epochs),
+            "--unroll_blocks", "--attention_impl", args.attention,
+            "--output_dir", pt_out, "--log_interval", "100",
+        ]))
+        ckpt = os.path.join(res["output_dir"], "checkpoints")
+        with open(ckpt_marker, "w") as f:
+            f.write(ckpt)
+        print(f"pretrain: {res['steps']} steps, final {res['last_metrics']}",
+              flush=True)
+
+    # Arm 1: frozen linear probe, full labels (same recipe as the texture
+    # ablation: random control vs pretrained).
+    acc_random = run_probe("", train_csv, val_csv,
+                           os.path.join(args.workdir, "probe_random"),
+                           args.probe_epochs)
+    print(f"probe RANDOM frozen encoder: {acc_random:.2f}%", flush=True)
+    acc_pre = run_probe(ckpt, train_csv, val_csv,
+                        os.path.join(args.workdir, "probe_pretrained"),
+                        args.probe_epochs)
+    print(f"probe PRETRAINED frozen encoder: {acc_pre:.2f}%", flush=True)
+
+    # Arm 2: low-label finetune, pretrained init vs random init.
+    low_csv = subset_csv(train_csv, args.ft_labels,
+                         os.path.join(args.workdir, "ft_low.csv"))
+    ft_random = run_finetune("", low_csv, val_csv,
+                             os.path.join(args.workdir, "ft_random"),
+                             args.ft_epochs)
+    print(f"finetune from RANDOM init ({args.ft_labels}/class): "
+          f"{ft_random:.2f}%", flush=True)
+    ft_pre = run_finetune(ckpt, low_csv, val_csv,
+                          os.path.join(args.workdir, "ft_pretrained"),
+                          args.ft_epochs)
+    print(f"finetune from PRETRAINED init ({args.ft_labels}/class): "
+          f"{ft_pre:.2f}%", flush=True)
+
+    out = {
+        "probe_random_top1": acc_random, "probe_pretrained_top1": acc_pre,
+        "probe_gain_points": acc_pre - acc_random,
+        "ft_random_top1": ft_random, "ft_pretrained_top1": ft_pre,
+        "ft_gain_points": ft_pre - ft_random,
+        "ft_labels_per_class": args.ft_labels,
+    }
+    print(json.dumps(out), flush=True)
+    print("SHAPE-TRANSFER ABLATION RECORDED "
+          "(docs/VALIDATION.md §8 for interpretation)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
