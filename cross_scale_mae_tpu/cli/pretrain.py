@@ -104,6 +104,12 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="unrolled layer loop (faster steps, slower compile)")
     p.add_argument("--zero1", action="store_true",
                    help="shard optimizer state over the data axis (ZeRO-1)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="fully-sharded data parallelism: params AND "
+                        "optimizer state sharded over the data axis (ZeRO-3 "
+                        "storage); XLA inserts the per-use all-gather / "
+                        "grad reduce-scatter. For models whose replicated "
+                        "state does not fit one chip's HBM")
     p.add_argument("--watch_gradients", action="store_true",
                    help="log per-subtree gradient norms (wandb.watch "
                         "equivalent, main_pretrain.py:537)")
@@ -133,12 +139,14 @@ def apply_reference_semantics(args) -> None:
     NT-Xent negatives / predictor-BN batch stats, MAE_ViT_MsLdCeCd.py:51-69).
     """
     if getattr(args, "reference_semantics", False):
-        if getattr(args, "model_parallel", 1) > 1 or getattr(args, "zero1", False):
+        if (getattr(args, "model_parallel", 1) > 1
+                or getattr(args, "zero1", False)
+                or getattr(args, "fsdp", False)):
             raise SystemExit(
                 "--reference_semantics forces --ddp_mode shard_map (pure "
                 "data-parallel, per-device NT-Xent/BN like DDP) and is "
-                "incompatible with --model_parallel/--zero1 — the reference "
-                "has no TP/ZeRO to be faithful to"
+                "incompatible with --model_parallel/--zero1/--fsdp — the "
+                "reference has no TP/ZeRO to be faithful to"
             )
         args.gelu = "exact"
         args.batch_crop = True
@@ -250,7 +258,8 @@ def main(args) -> dict:
     )
     state = TrainState.create(params, mstate, tx)
     state = shard_train_state(
-        mesh, state, tensor_parallel=args.model_parallel > 1, zero1=args.zero1
+        mesh, state, tensor_parallel=args.model_parallel > 1,
+        zero1=args.zero1, fsdp=args.fsdp,
     )
 
     start_epoch = 0
@@ -274,7 +283,7 @@ def main(args) -> dict:
     if args.ddp_mode == "shard_map":
         from cross_scale_mae_tpu.train.pretrain import make_pretrain_step_shard_map
 
-        assert args.model_parallel == 1 and not args.zero1, (
+        assert args.model_parallel == 1 and not args.zero1 and not args.fsdp, (
             "shard_map DDP mode is pure data-parallel"
         )
         step_fn = make_pretrain_step_shard_map(

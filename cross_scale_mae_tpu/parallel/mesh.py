@@ -101,16 +101,58 @@ def _spec_for(path_names: list[str], leaf) -> P:
     return P()
 
 
-def param_shardings(mesh: Mesh, params: Params, tensor_parallel: bool = True) -> Params:
-    """NamedSharding pytree for params (replicated unless TP is on)."""
+def _largest_divisible_axis(shape: tuple, n: int, taken=()) -> Optional[int]:
+    """Largest axis divisible by ``n`` and not already sharded; None if no
+    axis qualifies (the leaf then stays replicated along that mesh axis)."""
+    best = None
+    for axis, dim in enumerate(shape):
+        if axis in taken:
+            continue
+        if dim % n == 0 and dim >= n and (best is None or dim > shape[best]):
+            best = axis
+    return best
+
+
+def param_shardings(
+    mesh: Mesh,
+    params: Params,
+    tensor_parallel: bool = True,
+    fsdp: bool = False,
+) -> Params:
+    """NamedSharding pytree for params.
+
+    Default (DDP semantics, the reference's only mode): fully replicated.
+
+    ``tensor_parallel=True`` on a mesh with ``model > 1`` applies the
+    Megatron split rules above.
+
+    ``fsdp=True`` additionally shards each large leaf (size > 1024) over the
+    ``data`` axis on its largest not-already-sharded dimension — fully
+    sharded data parallelism (ZeRO-3 storage). XLA's SPMD partitioner
+    inserts the per-use all-gather in the forward and the reduce-scatter in
+    the backward automatically; numerics are bit-identical to replicated DP
+    (``tests/test_parallel.py::test_fsdp_matches_replicated_dp``). Composes
+    with TP: the 'model'-sharded axis is excluded, so a leaf can be sharded
+    on both mesh axes at once. Small leaves (norm scales, cls token, biases)
+    stay replicated — gathering them costs more than storing them."""
+    dp = mesh.shape["data"]
+    tp_on = tensor_parallel and mesh.shape["model"] > 1
 
     def assign(path, leaf):
-        if not tensor_parallel or mesh.shape["model"] == 1:
-            return NamedSharding(mesh, P())
-        names = []
-        for p in path:
-            names.append(str(getattr(p, "key", getattr(p, "name", p))))
-        return NamedSharding(mesh, _spec_for(names, leaf))
+        spec = P()
+        if tp_on:
+            names = []
+            for p in path:
+                names.append(str(getattr(p, "key", getattr(p, "name", p))))
+            spec = _spec_for(names, leaf)
+        if fsdp and dp > 1 and getattr(leaf, "size", 0) > 1024:
+            entries = list(spec) + [None] * (leaf.ndim - len(spec))
+            taken = {i for i, s in enumerate(entries) if s is not None}
+            ax = _largest_divisible_axis(leaf.shape, dp, taken)
+            if ax is not None:
+                entries[ax] = "data"
+                spec = P(*entries)
+        return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(assign, params)
 
@@ -118,11 +160,7 @@ def param_shardings(mesh: Mesh, params: Params, tensor_parallel: bool = True) ->
 def _zero1_spec(mesh: Mesh, shape: tuple) -> P:
     """ZeRO-1 sharding for an optimizer-moment leaf: split the largest axis
     divisible by the data-axis size; fall back to replicated."""
-    n = mesh.shape["data"]
-    best = None
-    for axis, dim in enumerate(shape):
-        if dim % n == 0 and dim >= n and (best is None or dim > shape[best]):
-            best = axis
+    best = _largest_divisible_axis(shape, mesh.shape["data"])
     if best is None:
         return P()
     spec = [None] * len(shape)
@@ -131,7 +169,8 @@ def _zero1_spec(mesh: Mesh, shape: tuple) -> P:
 
 
 def shard_train_state(
-    mesh: Mesh, state, tensor_parallel: bool = True, zero1: bool = False
+    mesh: Mesh, state, tensor_parallel: bool = True, zero1: bool = False,
+    fsdp: bool = False,
 ):
     """Place a TrainState on the mesh: params per rules, opt/model state to
     match (optimizer moments share the param layout), scalars replicated.
@@ -141,8 +180,17 @@ def shard_train_state(
     partitioner computes the update shard-wise and all-gathers the applied
     params — trades a collective for N-fold optimizer-state memory. Only
     worthwhile when optimizer state pressures HBM (ViT-H-scale).
+
+    ``fsdp=True`` shards the params themselves over ``data`` (ZeRO-3
+    storage; see :func:`param_shardings`); optimizer moments then follow the
+    param layout automatically, which subsumes ZeRO-1 — passing both raises.
     """
-    p_shard = param_shardings(mesh, state.params, tensor_parallel)
+    if fsdp and zero1:
+        raise ValueError(
+            "--fsdp already shards optimizer moments with the params "
+            "(ZeRO-3 subsumes ZeRO-1); drop --zero1"
+        )
+    p_shard = param_shardings(mesh, state.params, tensor_parallel, fsdp=fsdp)
     params = jax.tree.map(jax.device_put, state.params, p_shard)
     # Optimizer state: leaves with the same shape as a param get that param's
     # sharding (Adam m/v, LARS mu); everything else is replicated.

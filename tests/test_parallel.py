@@ -155,6 +155,73 @@ def test_zero1_optimizer_sharding(tiny_setup):
     )
 
 
+def test_fsdp_param_shardings(tiny_setup):
+    cfg, tcfg, sched, state = tiny_setup
+    mesh = make_mesh(model_parallel=2)
+    sh = param_shardings(mesh, state.params, tensor_parallel=True, fsdp=True)
+    # Large TP-sharded leaf also shards over 'data' on a different axis:
+    # stacked fc1 kernel (layers, in, out) -> TP puts 'model' on out, FSDP
+    # puts 'data' on the largest remaining divisible axis.
+    fc1 = sh["encoder_blocks"]["mlp"]["fc1"]["kernel"].spec
+    assert "model" in fc1 and "data" in fc1, fc1
+    # Large non-TP leaf shards over 'data' alone.
+    pe = sh["patch_embed"]["kernel"].spec
+    assert "data" in pe and "model" not in pe, pe
+    # Small leaves (cls token, norm scales) stay replicated.
+    assert sh["cls_token"].spec == P()
+    # fsdp + zero1 is redundant and rejected.
+    with pytest.raises(ValueError):
+        shard_train_state(mesh, state, zero1=True, fsdp=True)
+
+
+@pytest.mark.slow
+def test_fsdp_matches_replicated_dp(tiny_setup):
+    """FSDP (ZeRO-3 param+moment storage) is a layout change, not a numerics
+    change: one step under FSDP equals one step under replicated DP, and the
+    params/moments really are stored sharded (per-device shard < global)."""
+    cfg, tcfg, sched, state = tiny_setup
+    mesh = make_mesh(model_parallel=1)
+    imgs = jnp.asarray(
+        np.random.default_rng(0).normal(size=(16, 16, 16, 3)).astype(np.float32)
+    )
+    step = make_pretrain_step(cfg, tcfg, sched, donate=False)
+
+    base_state = shard_train_state(mesh, state, tensor_parallel=False)
+    f_state = shard_train_state(mesh, state, tensor_parallel=False, fsdp=True)
+
+    k = f_state.params["encoder_blocks"]["mlp"]["fc1"]["kernel"]
+    assert not k.sharding.is_fully_replicated
+    shard = k.addressable_shards[0].data
+    assert shard.size < k.size  # genuinely 1/N storage
+    # Adam moments follow the param layout (ZeRO-3 subsumes ZeRO-1).
+    m_leaf = None
+    for (pth, leaf) in jax.tree_util.tree_leaves_with_path(f_state.opt_state):
+        if hasattr(leaf, "shape") and leaf.shape == k.shape:
+            m_leaf = leaf
+            break
+    assert m_leaf is not None and not m_leaf.sharding.is_fully_replicated
+
+    batch = jax.device_put(imgs, batch_sharding(mesh))
+    s_base, m_base = step(base_state, batch, jax.random.key(0))
+    s_fsdp, m_fsdp = step(f_state, batch, jax.random.key(0))
+    np.testing.assert_allclose(
+        float(m_base["loss"]), float(m_fsdp["loss"]), rtol=1e-6
+    )
+    # atol: the gradient reduction changes shape (all-reduce -> per-shard
+    # reduce-scatter), so elements with near-zero grads see a different
+    # float summation order — and at step 1 Adam's update is lr*g/(|g|+eps),
+    # which turns an epsilon-scale grad difference into an O(lr) update
+    # difference. Observed: 1 / 262144 elements at 8.9e-5 (lr=1e-3).
+    np.testing.assert_allclose(
+        np.asarray(s_base.params["encoder_blocks"]["mlp"]["fc1"]["kernel"]),
+        np.asarray(s_fsdp.params["encoder_blocks"]["mlp"]["fc1"]["kernel"]),
+        atol=2e-4,
+    )
+    # Layout preserved through the update (stays FSDP for step 2).
+    assert not s_fsdp.params["encoder_blocks"]["mlp"]["fc1"][
+        "kernel"].sharding.is_fully_replicated
+
+
 @pytest.mark.slow
 def test_tensor_parallel_step_runs(tiny_setup):
     cfg, tcfg, sched, state = tiny_setup
