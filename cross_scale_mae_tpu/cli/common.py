@@ -19,6 +19,12 @@ def add_runtime_args(p: argparse.ArgumentParser):
     g.add_argument("--device_batch_dtype", default="bfloat16")
     g.add_argument("--model_parallel", default=1, type=int,
                    help="tensor-parallel mesh axis size (1 = pure DP)")
+    g.add_argument("--fsdp", action="store_true",
+                   help="fully-sharded data parallelism: params AND "
+                        "optimizer state sharded over the data axis (ZeRO-3 "
+                        "storage); XLA inserts the per-use all-gather / "
+                        "grad reduce-scatter. For models whose replicated "
+                        "state does not fit one chip's HBM")
     g.add_argument("--num_slices", default=1, type=int,
                    help="multi-slice TPU: DCN slice count (data parallelism "
                         "crosses DCN; the model axis stays on ICI)")

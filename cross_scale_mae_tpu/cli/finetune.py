@@ -327,7 +327,9 @@ def main(args) -> dict:
         no_decay_names=("pos_embed", "cls_token"),  # timm no_weight_decay
     )
     state = TrainState.create(params, mstate, tx)
-    state = shard_train_state(mesh, state, tensor_parallel=args.model_parallel > 1)
+    state = shard_train_state(
+        mesh, state, tensor_parallel=args.model_parallel > 1, fsdp=args.fsdp
+    )
 
     # Mid-run restore (util/misc.py:382-411: model+optimizer+epoch; the
     # reference wires --resume for all three entry points).

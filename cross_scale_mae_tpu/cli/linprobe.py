@@ -165,7 +165,9 @@ def main(args) -> dict:
         frozen_mask=trainable,
     )
     state = TrainState.create(params, mstate, tx)
-    state = shard_train_state(mesh, state, tensor_parallel=args.model_parallel > 1)
+    state = shard_train_state(
+        mesh, state, tensor_parallel=args.model_parallel > 1, fsdp=args.fsdp
+    )
 
     # Mid-run restore (util/misc.py:382-411; reference wires --resume for
     # all three entry points).

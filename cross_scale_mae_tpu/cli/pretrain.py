@@ -104,12 +104,6 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="unrolled layer loop (faster steps, slower compile)")
     p.add_argument("--zero1", action="store_true",
                    help="shard optimizer state over the data axis (ZeRO-1)")
-    p.add_argument("--fsdp", action="store_true",
-                   help="fully-sharded data parallelism: params AND "
-                        "optimizer state sharded over the data axis (ZeRO-3 "
-                        "storage); XLA inserts the per-use all-gather / "
-                        "grad reduce-scatter. For models whose replicated "
-                        "state does not fit one chip's HBM")
     p.add_argument("--watch_gradients", action="store_true",
                    help="log per-subtree gradient norms (wandb.watch "
                         "equivalent, main_pretrain.py:537)")
