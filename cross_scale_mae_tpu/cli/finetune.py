@@ -78,6 +78,11 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight_decay", default=0.05, type=float)
     p.add_argument("--layer_decay", default=0.75, type=float)
     p.add_argument("--clip_grad", default=None, type=float)
+    p.add_argument("--adam_mu_dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="dtype of Adam's first moment (bfloat16 halves its "
+                        "HBM; second moment stays fp32). Default fp32 = "
+                        "reference numerics")
     # Augmentation (main_finetune.py:188-268)
     p.add_argument("--smoothing", default=0.1, type=float)
     p.add_argument("--mixup", default=0.0, type=float)
@@ -325,6 +330,7 @@ def main(args) -> dict:
         b1=0.9, b2=0.999, clip_grad=args.clip_grad,
         layer_decay=args.layer_decay, depth=vcfg.depth,
         no_decay_names=("pos_embed", "cls_token"),  # timm no_weight_decay
+        mu_dtype=args.adam_mu_dtype,
     )
     state = TrainState.create(params, mstate, tx)
     state = shard_train_state(

@@ -91,6 +91,11 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--min_lr", default=0.0, type=float)
     p.add_argument("--weight_decay", default=0.05, type=float)
     p.add_argument("--clip_grad", default=None, type=float)
+    p.add_argument("--adam_mu_dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="dtype of Adam's first moment (bfloat16 halves its "
+                        "HBM; second moment stays fp32). Default fp32 = "
+                        "reference numerics")
     p.add_argument("--ckpt_interval", default=25, type=int)
     p.add_argument("--plot_recon", action="store_true",
                    help="save reconstruction plots at checkpoint epochs")
@@ -249,6 +254,7 @@ def main(args) -> dict:
     tx = build_optimizer(
         params, schedule, weight_decay=args.weight_decay,
         b1=tcfg.adam_b1, b2=tcfg.adam_b2, clip_grad=args.clip_grad,
+        mu_dtype=args.adam_mu_dtype,
     )
     state = TrainState.create(params, mstate, tx)
     state = shard_train_state(

@@ -180,11 +180,17 @@ def build_optimizer(
     lars_momentum: float = 0.9,
     lars_trust_coefficient: float = 0.001,
     frozen_mask: Optional[Params] = None,
+    mu_dtype: Optional[str] = None,
 ) -> optax.GradientTransformation:
     """Assemble the full update rule used by the three entry points.
 
     ``frozen_mask`` (True = trainable) implements the linear probe's
     freeze-all-but-head (main_linprobe.py:521-525) via ``optax.masked``.
+
+    ``mu_dtype='bfloat16'`` stores Adam's first moment in bf16 (halves its
+    HBM; the second moment stays fp32 — its dynamic range is the sensitive
+    one). Off by default: it is a numerics change vs the reference's fp32
+    torch.optim.AdamW.
     """
     chain = []
     if clip_grad is not None:
@@ -194,7 +200,7 @@ def build_optimizer(
         chain.append(
             optax.adamw(
                 learning_rate=schedule, b1=b1, b2=b2, eps=1e-8,
-                weight_decay=weight_decay, mask=mask,
+                weight_decay=weight_decay, mask=mask, mu_dtype=mu_dtype,
             )
         )
     elif optimizer == "lars":

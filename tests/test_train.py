@@ -240,3 +240,30 @@ class TestMixup:
         expect = np.full(4, 0.05)
         expect[2] = 0.85
         np.testing.assert_allclose(np.asarray(t[0]), expect, atol=1e-6)
+
+
+class TestMuDtype:
+    def test_bf16_first_moment(self):
+        """--adam_mu_dtype bfloat16: mu stored bf16, nu stays fp32, and the
+        first-step update matches fp32 Adam closely (mu quantization only)."""
+        from cross_scale_mae_tpu.train.optim import build_optimizer
+
+        rng = np.random.default_rng(0)
+        params = {"w": jnp.asarray(rng.normal(size=(64, 32)), jnp.float32)}
+        grads = {"w": jnp.asarray(rng.normal(size=(64, 32)), jnp.float32)}
+        sched = lambda s: 1e-3  # noqa: E731
+
+        tx16 = build_optimizer(params, sched, mu_dtype="bfloat16")
+        tx32 = build_optimizer(params, sched)
+        st16, st32 = tx16.init(params), tx32.init(params)
+        dtypes = {
+            jnp.dtype(leaf.dtype)
+            for leaf in jax.tree.leaves(st16)
+            if hasattr(leaf, "dtype") and leaf.shape == (64, 32)
+        }
+        assert dtypes == {jnp.dtype("bfloat16"), jnp.dtype("float32")}  # mu/nu
+        u16, _ = tx16.update(grads, st16, params)
+        u32, _ = tx32.update(grads, st32, params)
+        np.testing.assert_allclose(
+            np.asarray(u16["w"]), np.asarray(u32["w"]), rtol=1e-2, atol=1e-8
+        )
