@@ -492,3 +492,56 @@ def test_checkpoint_restores_after_pod_shrink(tmp_path):
     steps, loss = int(line.split()[1]), float(line.split()[2])
     assert steps == 2  # epoch 0 skipped; only epoch 1 ran
     assert np.isfinite(loss)
+
+
+_FSDP_TP_DRIVER = """
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); out = sys.argv[2]; port = sys.argv[3]
+from cross_scale_mae_tpu.cli import pretrain
+args = pretrain.get_args_parser().parse_args([
+    "--model", "mae_vit_tiny_MsLd", "--dataset_type", "synthetic",
+    "--synthetic_len", "64", "--input_size", "16", "--patch_size", "8",
+    "--batch_size", "32", "--epochs", "1", "--warmup_epochs", "0",
+    "--ckpt_interval", "1", "--output_dir", out,
+    "--compute_dtype", "float32", "--log_interval", "1",
+    "--fsdp", "--model_parallel", "2",
+    "--coordinator_address", "127.0.0.1:" + port,
+    "--num_processes", "2", "--process_id", str(pid),
+])
+res = pretrain.main(args)
+print("RESULT", pid, res["steps"], float(res["last_metrics"]["loss"]))
+"""
+
+
+@pytest.mark.slow
+def test_two_process_fsdp_tensor_parallel(tmp_path):
+    """FSDP (params+moments sharded over 'data') x 2-way TP on a mesh that
+    SPANS processes: every forward all-gathers param shards living on both
+    hosts, every backward reduce-scatters. Completes + identical losses +
+    a collective checkpoint save of the cross-host-sharded params."""
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = ""
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _FSDP_TP_DRIVER, str(pid),
+             str(tmp_path / "out"), port],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+    results = {}
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][-1]
+        _, pid, steps, loss = line.split()
+        results[int(pid)] = (int(steps), float(loss))
+    assert results[0][0] == results[1][0] == 2
+    assert np.isfinite(results[0][1])
+    np.testing.assert_allclose(results[0][1], results[1][1], rtol=1e-6)

@@ -283,6 +283,22 @@ def test_checkpoint_restores_across_mesh_change(tiny_setup, tmp_path):
     cont, m_b = step(restored, batch_b, jax.random.key(1))
     assert np.isfinite(float(m_b["loss"]))
 
+    # And the reverse direction with FSDP: the same replicated-era values
+    # restore into a fully-sharded (ZeRO-3) layout and train.
+    template_f = shard_train_state(
+        mesh_b, state, tensor_parallel=False, fsdp=True
+    )
+    restored_f, _ = restore_checkpoint(str(tmp_path / "ckpt"), template_f)
+    kf = restored_f.params["encoder_blocks"]["mlp"]["fc1"]["kernel"]
+    assert not kf.sharding.is_fully_replicated
+    np.testing.assert_allclose(
+        np.asarray(restored_f.params["patch_embed"]["kernel"]),
+        np.asarray(state_a.params["patch_embed"]["kernel"]),
+        atol=0,
+    )
+    cont_f, m_f = step(restored_f, batch_b, jax.random.key(1))
+    assert np.isfinite(float(m_f["loss"]))
+
 
 def test_make_mesh_shapes_and_slice_divisibility():
     from cross_scale_mae_tpu.parallel import make_mesh
