@@ -2,13 +2,16 @@
 
 The reference has no deployment story at all (its only inference surface is
 the matplotlib viz harness, util/viz.py — SURVEY.md §3.4). This CLI closes
-that gap TPU-natively: it lowers the deterministic unmasked encoder (raw
-uint8 canvas -> eval preprocess (normalize + center-crop, the same chain
-cli/finetune.py's eval datasets use) -> ViT encoder -> pooled features)
-with ``jax.export`` and writes a single self-contained artifact that any
-PJRT runtime (Python, C++, other hosts, other JAX versions within the
-compatibility window) can deserialize and call — no framework code, no
-checkpoint format, no Python model class needed at serving time.
+that gap TPU-natively: it lowers raw uint8 canvas -> eval preprocess
+(normalize + center-crop, the same chain cli/finetune.py's eval datasets
+use) -> model with ``jax.export`` and writes a single self-contained
+artifact that any PJRT runtime (Python, C++, other hosts, other JAX
+versions within the compatibility window) can deserialize and call — no
+framework code, no checkpoint format, no Python model class needed at
+serving time. The checkpoint kind is auto-detected from its config
+sidecar: an MAE pretrain run exports the deterministic unmasked encoder
+(pooled features); a finetune/linprobe run exports the full classifier
+(class logits, BN-head running stats baked in eval mode).
 
 * ``--dataset_type`` selects the normalization stats baked into the module
   (data/datasets.py DATASET_STATS); host-normalized dataset families
@@ -50,7 +53,9 @@ def get_args_parser():
     p = argparse.ArgumentParser("Cross-Scale MAE serving export (TPU)",
                                 add_help=False)
     p.add_argument("--ckpt", required=True,
-                   help="pretrain checkpoint dir (config travels with it)")
+                   help="checkpoint dir (config travels with it); MAE "
+                        "pretrain -> pooled-feature artifact, finetune/"
+                        "linprobe -> class-logits artifact (auto-detected)")
     p.add_argument("--step", default=None, type=int)
     p.add_argument("--output", required=True,
                    help="artifact path (e.g. encoder.stablehlo)")
@@ -85,7 +90,28 @@ def main(args) -> dict:
     from cross_scale_mae_tpu.ops.augment import make_eval_preprocess
     from cross_scale_mae_tpu.viz import prepare_model
 
-    params, _state, cfg = prepare_model(args.ckpt, args.step)
+    # Auto-detect the checkpoint kind from the config sidecar (same rule as
+    # cli/export_torch.py): MAE pretrain configs carry dim_model, classifier
+    # (finetune/linprobe) configs carry embed_dim. A classifier artifact
+    # serves uint8 canvas -> eval preprocess -> ViT -> class logits.
+    from cross_scale_mae_tpu.utils.checkpoint import latest_step
+
+    step = args.step if args.step is not None else latest_step(args.ckpt)
+    meta_path = os.path.join(os.path.abspath(args.ckpt), f"meta-{step}.json")
+    kind = "mae"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if "embed_dim" in json.load(f).get("config", {}):
+                kind = "classifier"
+
+    model_state = None
+    if kind == "classifier":
+        from cross_scale_mae_tpu.cli.export_torch import _load_classifier
+        from cross_scale_mae_tpu.models.vit import vit_apply
+
+        params, model_state, cfg = _load_classifier(args.ckpt, step)
+    else:
+        params, _state, cfg = prepare_model(args.ckpt, args.step)
     # Portability: the Pallas kernels lower to a Mosaic tpu_custom_call,
     # which only TPU PJRT runtimes can execute; the XLA path is numerically
     # identical (tests/test_models.py) and lowers everywhere.
@@ -117,15 +143,24 @@ def main(args) -> dict:
         dtype=cfg.compute_dtype,
     )
 
-    def forward(p, imgs):
-        feats = mae_encode(p, cfg, preprocess(imgs))
-        if args.pool == "cls":
-            out = feats[:, 0]
-        elif args.pool == "mean":
-            out = jnp.mean(feats[:, 1:], axis=1)
-        else:
-            out = feats
-        return out.astype(jnp.float32)
+    if kind == "classifier":
+        # The classifier's own pooling/head config governs; BN-head running
+        # stats (linprobe) ride along as baked constants — eval semantics.
+        def forward(p, imgs):
+            logits, _ = vit_apply(
+                p, model_state, cfg, preprocess(imgs), train=False
+            )
+            return logits.astype(jnp.float32)
+    else:
+        def forward(p, imgs):
+            feats = mae_encode(p, cfg, preprocess(imgs))
+            if args.pool == "cls":
+                out = feats[:, 0]
+            elif args.pool == "mean":
+                out = jnp.mean(feats[:, 1:], axis=1)
+            else:
+                out = feats
+            return out.astype(jnp.float32)
 
     c = cfg.input_channels
     if args.symbolic_batch:
@@ -196,7 +231,8 @@ def main(args) -> dict:
 
     meta = {
         "ckpt": args.ckpt,
-        "pool": args.pool,
+        "kind": kind,
+        "pool": args.pool if kind == "mae" else "n/a (classifier head)",
         "dataset_type": args.dataset_type,
         "input": [None if args.symbolic_batch else args.batch_size,
                   canvas, canvas, c],

@@ -59,19 +59,19 @@ def _load_classifier(ckpt_dir: str, step: int):
     classifier analogue of viz.prepare_model)."""
     import jax
     import jax.numpy as jnp
-    import orbax.checkpoint as ocp
 
     from cross_scale_mae_tpu.configs import ViTClassifierConfig
     from cross_scale_mae_tpu.models.vit import vit_init
-    from cross_scale_mae_tpu.utils.checkpoint import _abs
+    from cross_scale_mae_tpu.utils.checkpoint import _abs, restore_arrays_host
 
     meta_path = os.path.join(_abs(ckpt_dir), f"meta-{step}.json")
     with open(meta_path) as f:
         meta = json.load(f)
     cfg = ViTClassifierConfig.from_json(json.dumps(meta["config"]))
     params, state = vit_init(jax.random.key(0), cfg)
-    with ocp.CheckpointManager(_abs(ckpt_dir)) as mgr:
-        restored = mgr.restore(step, args=ocp.args.StandardRestore())
+    # Host-numpy restore: works regardless of the device topology the
+    # classifier run used (FSDP/TP mesh, multi-host).
+    restored, _ = restore_arrays_host(ckpt_dir, step)
     params = jax.tree.map(
         lambda t, r: jnp.asarray(r, t.dtype), params, restored["params"])
     state = jax.tree.map(

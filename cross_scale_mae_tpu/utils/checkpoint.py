@@ -96,6 +96,34 @@ def restore_checkpoint(ckpt_dir: str, train_state, step: Optional[int] = None):
     )
 
 
+def restore_arrays_host(ckpt_dir: str, step: Optional[int] = None):
+    """Restore a checkpoint's leaves as HOST numpy arrays, ignoring the
+    device topology it was saved under.
+
+    Inference-side loaders (``viz.prepare_model``, the export CLIs, embed)
+    have no TrainState template; a template-less ``StandardRestore()``
+    tries to rebuild the *saved* shardings and fails whenever the current
+    process exposes a different device set (e.g. a checkpoint written on an
+    8-device FSDP mesh opened on a 1-device host). Restoring to numpy
+    sidesteps device placement entirely; callers ``jnp.asarray`` what they
+    need. Returns (restored dict, step)."""
+    ckpt_dir = _abs(ckpt_dir)
+    if step is None:
+        step = latest_step(ckpt_dir)
+    assert step is not None, f"no checkpoints in {ckpt_dir}"
+    path = os.path.join(ckpt_dir, str(step), "default")
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path).item_metadata
+    tree = getattr(meta, "tree", meta)  # orbax version differences
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
+    )
+    restored = ckptr.restore(
+        path, args=ocp.args.PyTreeRestore(restore_args=restore_args)
+    )
+    return restored, step
+
+
 def save_params_npz(path: str, params: Any, config_json: Optional[str] = None):
     """Portable single-file export (flat npz of numpy leaves) — the analogue
     of shipping a .pth; used for released-weight interchange."""

@@ -40,13 +40,13 @@ def prepare_model(
         meta = json.load(f)
     cfg = MAEConfig.from_json(json.dumps(meta["config"]))
     params, state = mae_init(jax.random.key(0), cfg)
-    # Restore with no template (viz doesn't know the training optimizer's
-    # state structure) and keep params/model_state only.
-    from cross_scale_mae_tpu.utils.checkpoint import _abs
-    import orbax.checkpoint as ocp
+    # Restore to HOST numpy (viz doesn't know the training optimizer's
+    # state structure, and the checkpoint may have been written under a
+    # different device topology — FSDP/TP mesh, multi-host) and keep
+    # params/model_state only.
+    from cross_scale_mae_tpu.utils.checkpoint import restore_arrays_host
 
-    with ocp.CheckpointManager(_abs(ckpt_dir)) as mgr:
-        restored = mgr.restore(step, args=ocp.args.StandardRestore())
+    restored, _ = restore_arrays_host(ckpt_dir, step)
     params = jax.tree.map(
         lambda t, r: jnp.asarray(r, t.dtype), params, restored["params"]
     )
