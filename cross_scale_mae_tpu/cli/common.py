@@ -66,11 +66,20 @@ def add_runtime_args(p: argparse.ArgumentParser):
 
 def add_data_args(p: argparse.ArgumentParser, pretrain: bool):
     g = p.add_argument_group("data")
-    g.add_argument(
-        "--dataset_type", default="fmow_rgb",
-        choices=["fmow_rgb", "coco", "euro_sat", "fmow_sentinel", "naip",
-                 "synthetic"],
-    )
+    choices = ["fmow_rgb", "coco", "euro_sat", "fmow_sentinel", "naip",
+               "synthetic"]
+    if not pretrain:
+        # The reference's classifier parsers use the short names
+        # "rgb"/"sentinel" (main_finetune.py:296-304), and finetune.sh/
+        # linprobe.sh pass "rgb" — but its own build_fmow_dataset only
+        # dispatches on the long names (util/datasets.py:576-585), so the
+        # launchers crash as shipped. We accept the short names as aliases
+        # (resolved in apply_reference_compat) so the launcher lines run.
+        # "smart"/"spacenetv1"/"resisc45" are declared there too but have
+        # no loader in the reference either — accepted at parse (matching
+        # its argparse), rejected with a clear error afterwards.
+        choices += ["rgb", "sentinel", "smart", "spacenetv1", "resisc45"]
+    g.add_argument("--dataset_type", default="fmow_rgb", choices=choices)
     g.add_argument("--train_path", default="", help="csv/txt/dir per dataset type")
     g.add_argument("--test_path", default="")
     g.add_argument("--masked_bands", default=None, type=int, nargs="+")
@@ -247,12 +256,34 @@ def apply_reference_compat(args, role: str):
     if getattr(args, "output_dir_base", None):
         # main_pretrain.py:467-468: output_dir = base/output_dir.
         args.output_dir = os.path.join(args.output_dir_base, args.output_dir)
+    aliases = {"rgb": "fmow_rgb", "sentinel": "fmow_sentinel"}
+    if args.dataset_type in aliases:
+        rank0_print(
+            f"--dataset_type {args.dataset_type}: reference classifier-CLI "
+            f"short name, resolved to {aliases[args.dataset_type]} "
+            "(the reference's own build_fmow_dataset crashes on it, "
+            "util/datasets.py:624)")
+        args.dataset_type = aliases[args.dataset_type]
+    elif args.dataset_type in ("smart", "spacenetv1", "resisc45"):
+        raise ValueError(
+            f"--dataset_type {args.dataset_type} is declared by the "
+            "reference's classifier parsers but has no loader there either "
+            "(build_fmow_dataset raises 'Invalid dataset type'); no data "
+            "format to be compatible with")
     attn_name = getattr(args, "attn_name", None)
     if attn_name is not None:
         if attn_name == "shunted":
             raise ValueError(
                 "--attn_name shunted maps to modules missing from the "
                 "reference (its defect #1) and is not carried")
+        valid = ("scaled_dot_product", "linformer", "orthoformer",
+                 "nystrom", "local", "fourier_mix")
+        if attn_name not in valid:
+            # Same validation the reference applies via choices=
+            # (main_pretrain.py:109-118); fail at the CLI, not deep in jit.
+            raise ValueError(
+                f"--attn_name {attn_name!r}: invalid choice "
+                f"(choose from {', '.join(valid)})")
         args.attention = attn_name
     if getattr(args, "ffn_name", "MLP") != "MLP":
         # Mirrors the reference's own assert (MAE_ViT_Baseline.py:69-70).

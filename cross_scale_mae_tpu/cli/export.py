@@ -90,26 +90,24 @@ def main(args) -> dict:
     from cross_scale_mae_tpu.ops.augment import make_eval_preprocess
     from cross_scale_mae_tpu.viz import prepare_model
 
-    # Auto-detect the checkpoint kind from the config sidecar (same rule as
-    # cli/export_torch.py): MAE pretrain configs carry dim_model, classifier
-    # (finetune/linprobe) configs carry embed_dim. A classifier artifact
-    # serves uint8 canvas -> eval preprocess -> ViT -> class logits.
-    from cross_scale_mae_tpu.utils.checkpoint import latest_step
+    # A classifier (finetune/linprobe) artifact serves uint8 canvas ->
+    # eval preprocess -> ViT -> class logits; an MAE artifact serves
+    # embeddings. Kind detection rule: utils/checkpoint.checkpoint_kind.
+    from cross_scale_mae_tpu.utils.checkpoint import (
+        checkpoint_kind,
+        checkpoint_meta,
+        latest_step,
+        restore_classifier_host,
+    )
 
     step = args.step if args.step is not None else latest_step(args.ckpt)
-    meta_path = os.path.join(os.path.abspath(args.ckpt), f"meta-{step}.json")
-    kind = "mae"
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            if "embed_dim" in json.load(f).get("config", {}):
-                kind = "classifier"
+    kind = checkpoint_kind(checkpoint_meta(args.ckpt, step))
 
     model_state = None
     if kind == "classifier":
-        from cross_scale_mae_tpu.cli.export_torch import _load_classifier
         from cross_scale_mae_tpu.models.vit import vit_apply
 
-        params, model_state, cfg = _load_classifier(args.ckpt, step)
+        params, model_state, cfg = restore_classifier_host(args.ckpt, step)
     else:
         params, _state, cfg = prepare_model(args.ckpt, args.step)
     # Portability: the Pallas kernels lower to a Mosaic tpu_custom_call,

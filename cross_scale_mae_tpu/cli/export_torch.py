@@ -54,32 +54,6 @@ def _prefer_cpu() -> None:
         pass  # fall back to the default platform
 
 
-def _load_classifier(ckpt_dir: str, step: int):
-    """Rebuild a finetune/linprobe run from its config sidecar (the
-    classifier analogue of viz.prepare_model)."""
-    import jax
-    import jax.numpy as jnp
-
-    from cross_scale_mae_tpu.configs import ViTClassifierConfig
-    from cross_scale_mae_tpu.models.vit import vit_init
-    from cross_scale_mae_tpu.utils.checkpoint import _abs, restore_arrays_host
-
-    meta_path = os.path.join(_abs(ckpt_dir), f"meta-{step}.json")
-    with open(meta_path) as f:
-        meta = json.load(f)
-    cfg = ViTClassifierConfig.from_json(json.dumps(meta["config"]))
-    params, state = vit_init(jax.random.key(0), cfg)
-    # Host-numpy restore: works regardless of the device topology the
-    # classifier run used (FSDP/TP mesh, multi-host).
-    restored, _ = restore_arrays_host(ckpt_dir, step)
-    params = jax.tree.map(
-        lambda t, r: jnp.asarray(r, t.dtype), params, restored["params"])
-    state = jax.tree.map(
-        lambda t, r: jnp.asarray(r, t.dtype), state,
-        restored["model_state"])
-    return params, state, cfg
-
-
 def main(args) -> dict:
     _prefer_cpu()
     from cross_scale_mae_tpu.utils.checkpoint import latest_step
@@ -91,19 +65,18 @@ def main(args) -> dict:
         save_torch_checkpoint,
     )
 
+    from cross_scale_mae_tpu.utils.checkpoint import (
+        checkpoint_kind,
+        checkpoint_meta,
+        restore_classifier_host,
+    )
+
     step = args.step if args.step is not None else latest_step(args.ckpt)
     assert step is not None, f"no checkpoints in {args.ckpt}"
-    meta_path = os.path.join(os.path.abspath(args.ckpt), f"meta-{step}.json")
-    meta = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-    # Auto-detect checkpoint kind from the config sidecar: MAE pretrain
-    # configs carry dim_model, classifier configs carry embed_dim.
-    is_classifier = "embed_dim" in meta.get("config", {})
+    meta = checkpoint_meta(args.ckpt, step)
 
-    if is_classifier:
-        params, model_state, cfg = _load_classifier(args.ckpt, step)
+    if checkpoint_kind(meta) == "classifier":
+        params, model_state, cfg = restore_classifier_host(args.ckpt, step)
         sd = classifier_state_dict(params, cfg, model_state)
         ref_args = classifier_args(cfg, args.model_name)
     else:

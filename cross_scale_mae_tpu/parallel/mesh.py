@@ -130,8 +130,10 @@ def param_shardings(
     ``data`` axis on its largest not-already-sharded dimension — fully
     sharded data parallelism (ZeRO-3 storage). XLA's SPMD partitioner
     inserts the per-use all-gather in the forward and the reduce-scatter in
-    the backward automatically; numerics are bit-identical to replicated DP
-    (``tests/test_parallel.py::test_fsdp_matches_replicated_dp``). Composes
+    the backward automatically; numerics match replicated DP up to float
+    summation order (all-reduce vs reduce-scatter — params agree to ~1e-4
+    after a step, ``tests/test_parallel.py::test_fsdp_matches_replicated_dp``;
+    NOT bitwise, so don't compare checksums across --fsdp on/off). Composes
     with TP: the 'model'-sharded axis is excluded, so a leaf can be sharded
     on both mesh axes at once. Small leaves (norm scales, cls token, biases)
     stay replicated — gathering them costs more than storing them."""
@@ -194,13 +196,15 @@ def shard_train_state(
     params = jax.tree.map(jax.device_put, state.params, p_shard)
     # Optimizer state: leaves with the same shape as a param get that param's
     # sharding (Adam m/v, LARS mu); everything else is replicated.
-    # Build a shape->sharding lookup (best effort; ambiguity -> replicated).
+    # Keyed on shape ONLY — a moment may live in a different dtype than its
+    # param (``--adam_mu_dtype bfloat16``) and must still follow its layout
+    # under FSDP/TP. Ambiguity (same shape, different shardings) -> replicated.
     shape_map: dict[tuple, Any] = {}
     for (pp, pl), (sp, sl) in zip(
         jax.tree_util.tree_leaves_with_path(state.params),
         jax.tree_util.tree_leaves_with_path(p_shard),
     ):
-        key = (pl.shape, pl.dtype)
+        key = pl.shape
         if key in shape_map and shape_map[key] != sl:
             shape_map[key] = replicated(mesh)
         else:
@@ -212,7 +216,7 @@ def shard_train_state(
                 return jax.device_put(
                     x, NamedSharding(mesh, _zero1_spec(mesh, x.shape))
                 )
-            sh = shape_map.get((x.shape, x.dtype), replicated(mesh))
+            sh = shape_map.get(x.shape, replicated(mesh))
             return jax.device_put(x, sh)
         return x
 

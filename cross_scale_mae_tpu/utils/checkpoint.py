@@ -96,7 +96,11 @@ def restore_checkpoint(ckpt_dir: str, train_state, step: Optional[int] = None):
     )
 
 
-def restore_arrays_host(ckpt_dir: str, step: Optional[int] = None):
+def restore_arrays_host(
+    ckpt_dir: str,
+    step: Optional[int] = None,
+    subset: Optional[tuple] = ("params", "model_state"),
+):
     """Restore a checkpoint's leaves as HOST numpy arrays, ignoring the
     device topology it was saved under.
 
@@ -106,7 +110,13 @@ def restore_arrays_host(ckpt_dir: str, step: Optional[int] = None):
     process exposes a different device set (e.g. a checkpoint written on an
     8-device FSDP mesh opened on a 1-device host). Restoring to numpy
     sidesteps device placement entirely; callers ``jnp.asarray`` what they
-    need. Returns (restored dict, step)."""
+    need.
+
+    ``subset`` names the top-level keys to read (default: params +
+    model_state — what every inference caller needs). Adam moments are ~2x
+    the params; skipping ``opt_state`` cuts disk reads and peak host RAM by
+    ~3x for export/viz. Pass ``subset=None`` for the full tree. Returns
+    (restored dict, step)."""
     ckpt_dir = _abs(ckpt_dir)
     if step is None:
         step = latest_step(ckpt_dir)
@@ -115,13 +125,70 @@ def restore_arrays_host(ckpt_dir: str, step: Optional[int] = None):
     ckptr = ocp.PyTreeCheckpointer()
     meta = ckptr.metadata(path).item_metadata
     tree = getattr(meta, "tree", meta)  # orbax version differences
+    kwargs = {}
+    if subset is not None:
+        tree = {k: v for k, v in tree.items() if k in subset}
+        kwargs["item"] = tree
+        kwargs["transforms"] = {}  # partial restore: only keys in `item`
     restore_args = jax.tree.map(
         lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
     )
     restored = ckptr.restore(
-        path, args=ocp.args.PyTreeRestore(restore_args=restore_args)
+        path, args=ocp.args.PyTreeRestore(restore_args=restore_args, **kwargs)
     )
     return restored, step
+
+
+def checkpoint_meta(ckpt_dir: str, step: int) -> dict:
+    """Read the config sidecar (``meta-{step}.json``) written next to every
+    checkpoint; ``{}`` when absent (pre-sidecar or foreign checkpoints)."""
+    meta_path = os.path.join(_abs(ckpt_dir), f"meta-{step}.json")
+    if not os.path.exists(meta_path):
+        return {}
+    import json
+
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def checkpoint_kind(meta: dict) -> str:
+    """'classifier' (finetune/linprobe run) or 'mae' (pretrain run).
+
+    Single source of truth for the sidecar-schema rule both export CLIs
+    rely on: MAE pretrain configs carry ``dim_model``, classifier configs
+    carry ``embed_dim``."""
+    return "classifier" if "embed_dim" in meta.get("config", {}) else "mae"
+
+
+def restore_classifier_host(ckpt_dir: str, step: Optional[int] = None):
+    """Rebuild a finetune/linprobe run from its config sidecar — the
+    classifier analogue of ``viz.prepare_model`` (host-numpy restore, so
+    any training topology opens on any serving device set). Returns
+    (params, model_state, cfg)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from cross_scale_mae_tpu.configs import ViTClassifierConfig
+    from cross_scale_mae_tpu.models.vit import vit_init
+
+    if step is None:
+        step = latest_step(ckpt_dir)
+    assert step is not None, f"no checkpoints in {ckpt_dir}"
+    meta = checkpoint_meta(ckpt_dir, step)
+    if "config" not in meta:
+        raise FileNotFoundError(
+            f"no config sidecar meta-{step}.json in {ckpt_dir} "
+            "(classifier restore rebuilds the model from it)")
+    cfg = ViTClassifierConfig.from_json(json.dumps(meta["config"]))
+    params, state = vit_init(jax.random.key(0), cfg)
+    restored, _ = restore_arrays_host(ckpt_dir, step)
+    params = jax.tree.map(
+        lambda t, r: jnp.asarray(r, t.dtype), params, restored["params"])
+    state = jax.tree.map(
+        lambda t, r: jnp.asarray(r, t.dtype), state, restored["model_state"])
+    return params, state, cfg
 
 
 def save_params_npz(path: str, params: Any, config_json: Optional[str] = None):

@@ -183,8 +183,17 @@ def classifier_state_dict(
     for name in ("norm", "fc_norm"):
         if name in params:
             _norm_out(sd, name, params[name])
-    bn = (model_state or {}).get("head_bn")
-    if cfg.use_bn_head and bn is not None:
+    if cfg.use_bn_head:
+        bn = (model_state or {}).get("head_bn")
+        if bn is None:
+            # Exporting plain `head.*` keys here would strict-load-fail (or
+            # worse, non-strict-load with init BN stats) in the reference —
+            # refuse rather than silently degrade the layout.
+            raise ValueError(
+                "cfg.use_bn_head=True but model_state has no 'head_bn': the "
+                "BN running stats are part of the reference's head.0 "
+                "Sequential layout; pass the run's model_state"
+            )
         sd["head.0.running_mean"] = _np(bn["mean"])
         sd["head.0.running_var"] = _np(bn["var"])
         sd["head.0.num_batches_tracked"] = np.asarray(0, np.int64)

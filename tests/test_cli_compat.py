@@ -46,7 +46,10 @@ class TestReferenceLaunchers:
             "--input_size", "64", "--patch_size", "8",
             "--batch_size", "512",
             "--finetune", "weights/cross_scale_mae_large_pretrain.pth",
-            "--dataset_type", "fmow_rgb",
+            # finetune.sh:46 passes the short name "rgb" (the reference's
+            # own build_fmow_dataset crashes on it, util/datasets.py:624;
+            # we resolve it to fmow_rgb in apply_reference_compat).
+            "--dataset_type", "rgb",
             "--wandb_project", "satmae_finetune",
             # flags main_finetune.py declares that a user may also pass
             "--dist_eval", "--transform_checkpoint_keys", "--use_psa",
@@ -68,7 +71,7 @@ class TestReferenceLaunchers:
             "--input_size", "128", "--patch_size", "16",
             "--batch_size", "1024", "--epochs", "50",
             "--finetune", "weights/cross_scale_mae_base_pretrain.pth",
-            "--dataset_type", "fmow_rgb",
+            "--dataset_type", "rgb",  # linprobe.sh:44 short name
             "--wandb_project", "satmae_linprobe",
             "--norm_pix_loss", "--spatial_mask", "--use_xformers",
             "--print_level", "1",
@@ -93,6 +96,35 @@ class TestApplyCompat:
         a = _pretrain_args(["--attn_name", "linformer"])
         apply_reference_compat(a, "pretrain")
         assert a.attention == "linformer"
+
+    def test_dataset_type_short_names_resolve(self):
+        from cross_scale_mae_tpu.cli.common import apply_reference_compat
+        from cross_scale_mae_tpu.cli.finetune import get_args_parser
+
+        a = get_args_parser().parse_args(["--dataset_type", "rgb"])
+        apply_reference_compat(a, "finetune")
+        assert a.dataset_type == "fmow_rgb"
+        a = get_args_parser().parse_args(["--dataset_type", "sentinel"])
+        apply_reference_compat(a, "finetune")
+        assert a.dataset_type == "fmow_sentinel"
+
+    def test_dataset_type_unimplemented_in_reference_rejected(self):
+        # smart/spacenetv1/resisc45 are declared by the reference's
+        # classifier parsers but its build_fmow_dataset has no loader for
+        # them — parse succeeds (like the reference), then a clear error.
+        from cross_scale_mae_tpu.cli.common import apply_reference_compat
+        from cross_scale_mae_tpu.cli.linprobe import get_args_parser
+
+        a = get_args_parser().parse_args(["--dataset_type", "spacenetv1"])
+        with pytest.raises(ValueError, match="no loader"):
+            apply_reference_compat(a, "linprobe")
+
+    def test_attn_name_invalid_choice_rejected_at_cli(self):
+        from cross_scale_mae_tpu.cli.common import apply_reference_compat
+
+        a = _pretrain_args(["--attn_name", "linforrmer"])
+        with pytest.raises(ValueError, match="invalid choice"):
+            apply_reference_compat(a, "pretrain")
 
     def test_attn_name_shunted_rejected(self):
         from cross_scale_mae_tpu.cli.common import apply_reference_compat

@@ -222,6 +222,31 @@ def test_fsdp_matches_replicated_dp(tiny_setup):
         "kernel"].sharding.is_fully_replicated
 
 
+def test_fsdp_shards_bf16_mu(tiny_setup):
+    """--fsdp x --adam_mu_dtype bfloat16: the bf16 first moment must still
+    follow its param's FSDP layout. Regression for the (shape, dtype)-keyed
+    opt-state lookup that silently replicated any moment whose dtype differs
+    from its param (quadrupling per-chip mu HBM on an 8-way data axis)."""
+    cfg, tcfg, sched, state = tiny_setup
+    mesh = make_mesh(model_parallel=1)
+    tx16 = build_optimizer(state.params, sched, mu_dtype="bfloat16")
+    state16 = TrainState.create(state.params, state.model_state, tx16)
+    f_state = shard_train_state(mesh, state16, tensor_parallel=False, fsdp=True)
+
+    k = f_state.params["encoder_blocks"]["mlp"]["fc1"]["kernel"]
+    assert not k.sharding.is_fully_replicated
+    mu_leaf = nu_leaf = None
+    for leaf in jax.tree.leaves(f_state.opt_state):
+        if hasattr(leaf, "shape") and leaf.shape == k.shape:
+            if leaf.dtype == jnp.bfloat16:
+                mu_leaf = leaf
+            elif leaf.dtype == jnp.float32:
+                nu_leaf = leaf
+    assert mu_leaf is not None and nu_leaf is not None
+    assert mu_leaf.sharding == k.sharding, (mu_leaf.sharding, k.sharding)
+    assert nu_leaf.sharding == k.sharding
+
+
 @pytest.mark.slow
 def test_tensor_parallel_step_runs(tiny_setup):
     cfg, tcfg, sched, state = tiny_setup
