@@ -82,85 +82,15 @@ def get_args_parser():
 def main(args) -> dict:
     from jax import export as jexport
 
-    from cross_scale_mae_tpu.data.datasets import (
-        DATASET_STATS,
-        normalize_on_device_for,
+    # Checkpoint-kind detection, eval preprocessing, and the forward graph
+    # are shared with the online server (cli/serve.py) via serving.py —
+    # the artifact and the in-process server compute the identical graph.
+    from cross_scale_mae_tpu.serving import prepare_serving
+
+    forward, params, cfg, kind, canvas, c = prepare_serving(
+        args.ckpt, args.step, pool=args.pool,
+        dataset_type=args.dataset_type, canvas_scale=args.canvas_scale,
     )
-    from cross_scale_mae_tpu.models import mae_encode
-    from cross_scale_mae_tpu.ops.augment import make_eval_preprocess
-    from cross_scale_mae_tpu.viz import prepare_model
-
-    # A classifier (finetune/linprobe) artifact serves uint8 canvas ->
-    # eval preprocess -> ViT -> class logits; an MAE artifact serves
-    # embeddings. Kind detection rule: utils/checkpoint.checkpoint_kind.
-    from cross_scale_mae_tpu.utils.checkpoint import (
-        checkpoint_kind,
-        checkpoint_meta,
-        latest_step,
-        restore_classifier_host,
-    )
-
-    step = args.step if args.step is not None else latest_step(args.ckpt)
-    kind = checkpoint_kind(checkpoint_meta(args.ckpt, step))
-
-    model_state = None
-    if kind == "classifier":
-        from cross_scale_mae_tpu.models.vit import vit_apply
-
-        params, model_state, cfg = restore_classifier_host(args.ckpt, step)
-    else:
-        params, _state, cfg = prepare_model(args.ckpt, args.step)
-    # Portability: the Pallas kernels lower to a Mosaic tpu_custom_call,
-    # which only TPU PJRT runtimes can execute; the XLA path is numerically
-    # identical (tests/test_models.py) and lowers everywhere.
-    if cfg.attention_impl != "xla":
-        cfg = cfg.replace(attention_impl="xla")
-
-    if args.dataset_type not in DATASET_STATS:
-        raise SystemExit(
-            f"unknown --dataset_type {args.dataset_type!r}; "
-            f"known: {sorted(DATASET_STATS)}"
-        )
-    mean, std = DATASET_STATS[args.dataset_type]
-    # Host-normalized families (SentinelNormalize) must NOT get a second
-    # on-device normalize baked into the artifact; the flag lives on the
-    # dataset classes (single source of truth, data/datasets.py).
-    normalize = normalize_on_device_for(args.dataset_type)
-    if normalize and len(mean) != cfg.input_channels:
-        raise SystemExit(
-            f"--dataset_type {args.dataset_type} has {len(mean)}-channel "
-            f"stats but the checkpoint expects {cfg.input_channels} channels"
-        )
-    scale = args.canvas_scale
-    if scale is None:
-        scale = 1.0 / 0.875 if cfg.input_size <= 224 else 1.0
-    canvas = int(round(cfg.input_size * scale))
-
-    preprocess = make_eval_preprocess(
-        mean, std, cfg.input_size, normalize=normalize,
-        dtype=cfg.compute_dtype,
-    )
-
-    if kind == "classifier":
-        # The classifier's own pooling/head config governs; BN-head running
-        # stats (linprobe) ride along as baked constants — eval semantics.
-        def forward(p, imgs):
-            logits, _ = vit_apply(
-                p, model_state, cfg, preprocess(imgs), train=False
-            )
-            return logits.astype(jnp.float32)
-    else:
-        def forward(p, imgs):
-            feats = mae_encode(p, cfg, preprocess(imgs))
-            if args.pool == "cls":
-                out = feats[:, 0]
-            elif args.pool == "mean":
-                out = jnp.mean(feats[:, 1:], axis=1)
-            else:
-                out = feats
-            return out.astype(jnp.float32)
-
-    c = cfg.input_channels
     if args.symbolic_batch:
         (b,) = jexport.symbolic_shape("b")
         img_spec = jax.ShapeDtypeStruct((b, canvas, canvas, c), jnp.uint8)

@@ -1,0 +1,313 @@
+"""Serving core: checkpoint/artifact -> callable forward + micro-batcher.
+
+The reference has no serving story (its only inference surface is the
+matplotlib viz harness, ``util/viz.py`` — SURVEY.md §3.4). This module is
+the TPU-native one, shared by ``cli/export.py`` (ahead-of-time StableHLO
+artifact) and ``cli/serve.py`` (online HTTP inference):
+
+* :func:`prepare_serving` — rebuild a checkpoint (MAE pretrain -> pooled
+  features, finetune/linprobe -> class logits, auto-detected from the
+  config sidecar) as a pure ``forward(params, uint8_canvas)`` with the
+  train-time eval preprocessing (normalize + center-crop) fused in.
+* :func:`load_artifact` — deserialize an exported ``.stablehlo`` module
+  (+ its ``.json`` sidecar) back into the same shape of callable, so a
+  server can run from the portable artifact without the checkpoint.
+* :class:`MicroBatcher` — dynamic request batching onto ONE static-shape
+  XLA program. TPU-first serving rule: the compiled step wants a fixed
+  batch; concurrent requests are coalesced up to ``max_batch`` (padding
+  the remainder), never recompiled per request size.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import threading
+import time
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ServingModel:
+    """A ready-to-call serving head with its input contract."""
+
+    fn: Callable[[np.ndarray], np.ndarray]  # (B,canvas,canvas,C)u8 -> f32
+    canvas: int
+    channels: int
+    batch_size: Optional[int]  # static batch; None = polymorphic
+    kind: str                  # 'mae' | 'classifier'
+    meta: dict
+
+
+def prepare_serving(
+    ckpt: str,
+    step: Optional[int] = None,
+    pool: str = "cls",
+    dataset_type: str = "fmow_rgb",
+    canvas_scale: Optional[float] = None,
+):
+    """Checkpoint -> (forward(params, imgs), params, cfg, kind, canvas, C).
+
+    ``forward`` takes a raw uint8 canvas batch and returns float32 pooled
+    features (MAE run) or class logits (classifier run) — the exact graph
+    ``cli/export.py`` lowers into the portable artifact. Attention is
+    forced onto the XLA path so the graph lowers on every platform
+    (numerically identical to the Pallas kernels, tests/test_models.py).
+    """
+    import jax.numpy as jnp
+
+    from cross_scale_mae_tpu.data.datasets import (
+        DATASET_STATS,
+        normalize_on_device_for,
+    )
+    from cross_scale_mae_tpu.ops.augment import make_eval_preprocess
+    from cross_scale_mae_tpu.utils.checkpoint import (
+        checkpoint_kind,
+        checkpoint_meta,
+        latest_step,
+        restore_classifier_host,
+    )
+
+    if step is None:
+        step = latest_step(ckpt)
+    kind = checkpoint_kind(checkpoint_meta(ckpt, step))
+
+    model_state = None
+    if kind == "classifier":
+        params, model_state, cfg = restore_classifier_host(ckpt, step)
+    else:
+        from cross_scale_mae_tpu.viz import prepare_model
+
+        params, _state, cfg = prepare_model(ckpt, step)
+    if cfg.attention_impl != "xla":
+        cfg = cfg.replace(attention_impl="xla")
+
+    if dataset_type not in DATASET_STATS:
+        raise SystemExit(
+            f"unknown dataset_type {dataset_type!r}; "
+            f"known: {sorted(DATASET_STATS)}"
+        )
+    mean, std = DATASET_STATS[dataset_type]
+    # Host-normalized families (SentinelNormalize) must NOT get a second
+    # on-device normalize; the flag lives on the dataset classes
+    # (single source of truth, data/datasets.py).
+    normalize = normalize_on_device_for(dataset_type)
+    if normalize and len(mean) != cfg.input_channels:
+        raise SystemExit(
+            f"dataset_type {dataset_type} has {len(mean)}-channel stats "
+            f"but the checkpoint expects {cfg.input_channels} channels"
+        )
+    scale = canvas_scale
+    if scale is None:
+        # The eval pipeline's Resize(input/0.875) + CenterCrop for inputs
+        # <= 224 (util/datasets.py:140-158 equivalent).
+        scale = 1.0 / 0.875 if cfg.input_size <= 224 else 1.0
+    canvas = int(round(cfg.input_size * scale))
+
+    preprocess = make_eval_preprocess(
+        mean, std, cfg.input_size, normalize=normalize,
+        dtype=cfg.compute_dtype,
+    )
+
+    if kind == "classifier":
+        from cross_scale_mae_tpu.models.vit import vit_apply
+
+        def forward(p, imgs):
+            # BN-head running stats (linprobe) ride along as constants —
+            # eval semantics.
+            logits, _ = vit_apply(
+                p, model_state, cfg, preprocess(imgs), train=False
+            )
+            return logits.astype(jnp.float32)
+    else:
+        from cross_scale_mae_tpu.models import mae_encode
+
+        def forward(p, imgs):
+            feats = mae_encode(p, cfg, preprocess(imgs))
+            if pool == "cls":
+                out = feats[:, 0]
+            elif pool == "mean":
+                out = jnp.mean(feats[:, 1:], axis=1)
+            else:
+                out = feats
+            return out.astype(jnp.float32)
+
+    return forward, params, cfg, kind, canvas, cfg.input_channels
+
+
+def build_serving_model(
+    ckpt: str,
+    step: Optional[int] = None,
+    pool: str = "cls",
+    dataset_type: str = "fmow_rgb",
+    canvas_scale: Optional[float] = None,
+    batch_size: int = 64,
+) -> ServingModel:
+    """In-process serving head: one jitted static-batch program."""
+    import jax
+
+    forward, params, cfg, kind, canvas, c = prepare_serving(
+        ckpt, step, pool, dataset_type, canvas_scale
+    )
+    jitted = jax.jit(lambda imgs: forward(params, imgs))
+
+    def fn(imgs: np.ndarray) -> np.ndarray:
+        return np.asarray(jitted(imgs))
+
+    meta = {
+        "source": "checkpoint", "ckpt": ckpt, "kind": kind,
+        "pool": pool if kind == "mae" else "n/a (classifier head)",
+        "dataset_type": dataset_type,
+        "input": [batch_size, canvas, canvas, c],
+        "model_config": json.loads(cfg.to_json()),
+    }
+    return ServingModel(fn, canvas, c, batch_size, kind, meta)
+
+
+def load_artifact(path: str) -> ServingModel:
+    """Exported ``.stablehlo`` (+ ``.json`` sidecar) -> ServingModel.
+
+    Requires a baked-weights artifact (the default export form); the
+    sidecar carries the input contract the exporter verified against.
+    """
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        reloaded = jexport.deserialize(f.read())
+    try:
+        with open(path + ".json") as f:
+            meta = json.load(f)
+    except FileNotFoundError:
+        raise SystemExit(
+            f"{path}.json sidecar not found next to the artifact; "
+            "cli/export.py writes it — serve from the original export"
+        )
+    if isinstance(meta.get("weights"), str) and meta["weights"] != "baked":
+        raise SystemExit(
+            "artifact was exported with --no_bake_weights; serve from the "
+            "checkpoint instead (weights sidecar calls aren't wired here)"
+        )
+    b, canvas, _, c = meta["input"]
+
+    def fn(imgs: np.ndarray) -> np.ndarray:
+        return np.asarray(reloaded.call(jnp.asarray(imgs)))
+
+    meta = dict(meta, source="artifact", artifact=path)
+    return ServingModel(fn, int(canvas), int(c), b if b is None else int(b),
+                        meta["kind"], meta)
+
+
+class MicroBatcher:
+    """Coalesce concurrent requests onto one static-batch compiled call.
+
+    ``submit`` blocks the calling (HTTP handler) thread until its rows are
+    computed. A single worker drains the queue: it waits up to
+    ``max_delay_ms`` for more rows to arrive (latency/throughput knob),
+    takes up to ``max_batch`` rows, pads the tail request to the static
+    shape, runs ``fn`` once, and scatters the slices back. With a
+    polymorphic-batch artifact (``max_batch=None``) padding is skipped.
+    """
+
+    def __init__(self, fn, max_batch: Optional[int], canvas: int,
+                 channels: int, max_delay_ms: float = 5.0):
+        self._fn = fn
+        self.max_batch = max_batch
+        self._shape = (canvas, canvas, channels)
+        self._delay = max_delay_ms / 1e3
+        self._cv = threading.Condition()
+        self._queue: list[dict[str, Any]] = []
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, imgs: np.ndarray) -> np.ndarray:
+        if imgs.ndim != 4 or imgs.shape[1:] != self._shape:
+            raise ValueError(
+                f"expected (n, {', '.join(map(str, self._shape))}) uint8, "
+                f"got {imgs.shape}")
+        if imgs.dtype != np.uint8:
+            raise ValueError(f"expected uint8 input, got {imgs.dtype}")
+        out: list[Optional[np.ndarray]] = []
+        done = threading.Event()
+        chunk = self.max_batch or len(imgs)
+        parts = [imgs[i:i + chunk] for i in range(0, len(imgs), chunk)] or [imgs]
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            pending = len(parts)
+            state = {"left": pending}
+            for part in parts:
+                out.append(None)
+
+                def make_cb(slot):
+                    def cb(result):
+                        out[slot] = result
+                        state["left"] -= 1
+                        if state["left"] == 0:
+                            done.set()
+                    return cb
+
+                self._queue.append(
+                    {"rows": part, "cb": make_cb(len(out) - 1)})
+            self._cv.notify()
+        done.wait()
+        for part in out:
+            if isinstance(part, Exception):
+                raise part
+        return np.concatenate(out, axis=0)
+
+    def close(self):
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        self._worker.join(timeout=5)
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._queue and not self._closed:
+                    self._cv.wait()
+                if self._closed and not self._queue:
+                    return
+                # Brief coalescing window: let concurrent handlers enqueue.
+                if self._delay > 0 and self.max_batch:
+                    deadline = time.monotonic() + self._delay
+                    while (sum(len(e["rows"]) for e in self._queue)
+                           < self.max_batch and not self._closed):
+                        left = deadline - time.monotonic()
+                        if left <= 0:
+                            break
+                        self._cv.wait(timeout=left)
+                batch, used = [], []
+                budget = self.max_batch or sum(
+                    len(e["rows"]) for e in self._queue)
+                while self._queue and budget >= len(self._queue[0]["rows"]):
+                    e = self._queue.pop(0)
+                    budget -= len(e["rows"])
+                    batch.append(e["rows"])
+                    used.append(e)
+                if not batch:  # head larger than budget cannot happen
+                    # (submit() chunks to max_batch), but stay safe
+                    e = self._queue.pop(0)
+                    batch, used = [e["rows"]], [e]
+            rows = np.concatenate(batch, axis=0)
+            n = len(rows)
+            if self.max_batch and n < self.max_batch:
+                pad = np.zeros((self.max_batch - n, *rows.shape[1:]),
+                               rows.dtype)
+                rows = np.concatenate([rows, pad], axis=0)
+            try:
+                result = self._fn(rows)[:n]
+            except Exception as e:  # deliver the failure to the waiters
+                off = 0
+                for entry in used:
+                    entry["cb"](e)
+                    off += len(entry["rows"])
+                continue
+            off = 0
+            for entry in used:
+                entry["cb"](result[off:off + len(entry["rows"])])
+                off += len(entry["rows"])

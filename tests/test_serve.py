@@ -1,0 +1,226 @@
+"""Online inference server (cli/serve.py + serving.py).
+
+The reference has no serving surface (SURVEY.md §3.4); these tests pin
+ours: the HTTP server answers from the same graph the export path lowers,
+the micro-batcher coalesces concurrent requests into one static-batch
+dispatch, and malformed input fails with a 4xx instead of a crash.
+"""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------- batcher
+
+class TestMicroBatcher:
+    def _make(self, max_batch=8, delay=30.0):
+        from cross_scale_mae_tpu.serving import MicroBatcher
+
+        calls = []
+
+        def fn(rows):
+            calls.append(len(rows))
+            return rows[..., 0, 0, 0].astype(np.float32) * 2.0
+
+        return MicroBatcher(fn, max_batch, 4, 3, max_delay_ms=delay), calls
+
+    def test_coalesces_concurrent_requests(self):
+        b, calls = self._make()
+        outs = {}
+
+        def post(i):
+            imgs = np.full((2, 4, 4, 3), i, np.uint8)
+            outs[i] = b.submit(imgs)
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in (1, 2, 3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        b.close()
+        # All three landed, each with its own rows (no cross-request mixing).
+        for i in (1, 2, 3):
+            np.testing.assert_allclose(outs[i], np.full(2, 2.0 * i))
+        # Coalescing actually happened: fewer dispatches than requests
+        # (each dispatch is padded to the static max_batch=8).
+        assert len(calls) < 3 and all(c == 8 for c in calls)
+
+    def test_oversize_request_is_chunked(self):
+        b, calls = self._make(max_batch=4, delay=0.0)
+        imgs = np.arange(10, dtype=np.uint8).repeat(4 * 4 * 3).reshape(
+            10, 4, 4, 3)
+        out = b.submit(imgs)
+        b.close()
+        np.testing.assert_allclose(out, imgs[:, 0, 0, 0] * 2.0)
+        assert sum(calls) >= 10  # 3 padded dispatches of 4
+
+    def test_bad_shape_rejected(self):
+        b, _ = self._make()
+        with pytest.raises(ValueError, match="expected"):
+            b.submit(np.zeros((2, 5, 5, 3), np.uint8))
+        with pytest.raises(ValueError, match="uint8"):
+            b.submit(np.zeros((2, 4, 4, 3), np.float32))
+        b.close()
+
+    def test_fn_failure_propagates_to_caller(self):
+        from cross_scale_mae_tpu.serving import MicroBatcher
+
+        def fn(rows):
+            raise RuntimeError("device fell over")
+
+        b = MicroBatcher(fn, 4, 4, 3, max_delay_ms=0.0)
+        with pytest.raises(RuntimeError, match="fell over"):
+            b.submit(np.zeros((2, 4, 4, 3), np.uint8))
+        b.close()
+
+
+# ------------------------------------------------------------ HTTP server
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    from cross_scale_mae_tpu.cli import pretrain
+
+    out = str(tmp_path_factory.mktemp("serve") / "pt")
+    args = pretrain.get_args_parser().parse_args([
+        "--model", "mae_vit_tiny", "--dataset_type", "synthetic",
+        "--synthetic_len", "32", "--input_size", "16", "--patch_size", "8",
+        "--batch_size", "16", "--epochs", "1", "--warmup_epochs", "0",
+        "--ckpt_interval", "1", "--output_dir", out,
+        "--compute_dtype", "float32", "--log_interval", "2",
+    ])
+    res = pretrain.main(args)
+    import os
+
+    return os.path.join(res["output_dir"], "checkpoints")
+
+
+@pytest.fixture()
+def served(tiny_ckpt):
+    from cross_scale_mae_tpu.cli import serve
+
+    args = serve.get_args_parser().parse_args([
+        "--ckpt", tiny_ckpt, "--pool", "mean", "--batch_size", "4",
+        "--port", "0", "--max_delay_ms", "2",
+    ])
+    server, batcher = serve.build_app(args)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base
+    server.shutdown()
+    batcher.close()
+    server.server_close()
+
+
+def _post(url, body, headers=None):
+    req = urllib.request.Request(url, data=body, method="POST",
+                                 headers=headers or {})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read(), r.headers.get("Content-Type")
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), e.headers.get("Content-Type")
+
+
+@pytest.mark.slow
+class TestServeHTTP:
+    def test_healthz_info_predict_roundtrip(self, served, tiny_ckpt):
+        with urllib.request.urlopen(served + "/healthz") as r:
+            h = json.loads(r.read())
+        assert h["ok"] and h["warm"] and h["kind"] == "mae"
+        with urllib.request.urlopen(served + "/info") as r:
+            info = json.loads(r.read())
+        canvas = info["input"][1]
+        assert canvas == int(round(16 / 0.875))
+
+        rng = np.random.default_rng(0)
+        imgs = rng.integers(0, 256, (3, canvas, canvas, 3), np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, imgs)
+        code, body, ctype = _post(served + "/predict", buf.getvalue())
+        assert code == 200 and ctype == "application/octet-stream"
+        out = np.load(io.BytesIO(body))
+        assert out.shape[0] == 3 and np.isfinite(out).all()
+
+        # The HTTP answer equals the in-process forward (same graph).
+        from cross_scale_mae_tpu.serving import build_serving_model
+
+        model = build_serving_model(tiny_ckpt, pool="mean", batch_size=4)
+        want = model.fn(np.concatenate(
+            [imgs, np.zeros((1, canvas, canvas, 3), np.uint8)]))[:3]
+        np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+        # JSON negotiation.
+        code, body, ctype = _post(served + "/predict", buf.getvalue(),
+                                  {"Accept": "application/json"})
+        assert code == 200 and ctype == "application/json"
+        assert np.allclose(np.asarray(json.loads(body)["output"]), out,
+                           atol=1e-6)
+
+    def test_predict_image_and_errors(self, served):
+        from PIL import Image
+
+        im = Image.fromarray(
+            np.random.default_rng(1).integers(0, 256, (20, 20, 3), np.uint8))
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        code, body, _ = _post(served + "/predict_image", buf.getvalue())
+        assert code == 200
+        out = json.loads(body)["output"]
+        assert np.isfinite(np.asarray(out)).all()
+
+        # Wrong shape -> 400 with a readable message, server stays up.
+        bad = io.BytesIO()
+        np.save(bad, np.zeros((2, 5, 5, 3), np.uint8))
+        code, body, _ = _post(served + "/predict", bad.getvalue())
+        assert code == 400 and b"expected" in body
+        code, _, _ = _post(served + "/nope", b"")
+        assert code == 404
+        with urllib.request.urlopen(served + "/healthz") as r:
+            assert json.loads(r.read())["ok"]
+
+
+@pytest.mark.slow
+def test_serve_from_artifact_matches_checkpoint(tiny_ckpt, tmp_path):
+    """--artifact serves the exported StableHLO module; answers must match
+    the checkpoint-backed server bit-for-bit (same lowered graph)."""
+    from cross_scale_mae_tpu.cli import export as export_cli
+    from cross_scale_mae_tpu.cli import serve
+    from cross_scale_mae_tpu.serving import build_serving_model
+
+    art = str(tmp_path / "enc.stablehlo")
+    export_cli.main(export_cli.get_args_parser().parse_args([
+        "--ckpt", tiny_ckpt, "--output", art, "--pool", "mean",
+        "--batch_size", "4"]))
+
+    args = serve.get_args_parser().parse_args([
+        "--artifact", art, "--port", "0", "--max_delay_ms", "0"])
+    server, batcher = serve.build_app(args)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        with urllib.request.urlopen(base + "/info") as r:
+            info = json.loads(r.read())
+        assert info["source"] == "artifact"
+        canvas = info["input"][1]
+        imgs = np.random.default_rng(2).integers(
+            0, 256, (2, canvas, canvas, 3), np.uint8)
+        buf = io.BytesIO()
+        np.save(buf, imgs)
+        code, body, _ = _post(base + "/predict", buf.getvalue())
+        assert code == 200
+        got = np.load(io.BytesIO(body))
+        model = build_serving_model(tiny_ckpt, pool="mean", batch_size=4)
+        want = model.fn(np.concatenate(
+            [imgs, np.zeros((2, canvas, canvas, 3), np.uint8)]))[:2]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    finally:
+        server.shutdown()
+        batcher.close()
+        server.server_close()
