@@ -12,6 +12,8 @@ all funneling into the batcher):
 
 * ``GET /healthz`` — liveness + compile warm-up state.
 * ``GET /info`` — model/input contract (kind, canvas, batch, config).
+* ``GET /stats`` — serving counters (requests, dispatches, mean batch
+  fill, per-dispatch latency p50/p99, queue depth).
 * ``POST /predict`` — body = ``.npy`` bytes, uint8 ``(n, canvas, canvas,
   C)``; response ``.npy`` float32 (pooled features for an MAE checkpoint,
   class logits for a finetune/linprobe checkpoint). ``Accept:
@@ -62,8 +64,9 @@ def get_args_parser():
     return p
 
 
-def build_app(args):
-    """Load the model, warm it, and return (HTTPServer, batcher)."""
+def build_app(args, model=None):
+    """Load the model (unless one is injected, e.g. by benchmarks), warm
+    it, and return (HTTPServer, batcher)."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     from cross_scale_mae_tpu.serving import (
@@ -73,7 +76,9 @@ def build_app(args):
     )
     from cross_scale_mae_tpu.utils.logging import rank0_print
 
-    if args.artifact:
+    if model is not None:
+        pass
+    elif args.artifact:
         model = load_artifact(args.artifact)
         if model.batch_size is None:
             # Polymorphic artifact: batch freely, cap coalescing at the
@@ -125,6 +130,8 @@ def build_app(args):
                     "max_delay_ms": args.max_delay_ms,
                     **model.meta,
                 })
+            elif self.path == "/stats":
+                self._json(200, batcher.stats())
             else:
                 self._json(404, {"error": f"no route {self.path}"})
 

@@ -220,8 +220,36 @@ class MicroBatcher:
         self._cv = threading.Condition()
         self._queue: list[dict[str, Any]] = []
         self._closed = False
+        # Serving observability: dispatch counts, batch fill, and a ring of
+        # recent per-dispatch wall times (device time incl. padding waste).
+        self._stats_lock = threading.Lock()
+        self._n_requests = 0
+        self._n_rows = 0
+        self._n_dispatches = 0
+        self._rows_dispatched = 0
+        self._dispatch_ms: list[float] = []  # ring, newest last
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    def stats(self) -> dict:
+        """Counters + latency percentiles over the recent-dispatch ring."""
+        with self._stats_lock:
+            lat = sorted(self._dispatch_ms)
+            n = len(lat)
+            pct = (lambda q: round(lat[min(n - 1, int(q * n))], 2)) if n \
+                else (lambda q: None)
+            fill = (self._rows_dispatched
+                    / (self._n_dispatches * self.max_batch)
+                    if self._n_dispatches and self.max_batch else None)
+            return {
+                "requests": self._n_requests,
+                "rows": self._n_rows,
+                "dispatches": self._n_dispatches,
+                "mean_batch_fill": round(fill, 3) if fill is not None else None,
+                "dispatch_ms_p50": pct(0.50),
+                "dispatch_ms_p99": pct(0.99),
+                "queue_depth": len(self._queue),
+            }
 
     def submit(self, imgs: np.ndarray) -> np.ndarray:
         if imgs.ndim != 4 or imgs.shape[1:] != self._shape:
@@ -234,6 +262,9 @@ class MicroBatcher:
         done = threading.Event()
         chunk = self.max_batch or len(imgs)
         parts = [imgs[i:i + chunk] for i in range(0, len(imgs), chunk)] or [imgs]
+        with self._stats_lock:
+            self._n_requests += 1
+            self._n_rows += len(imgs)
         with self._cv:
             if self._closed:
                 raise RuntimeError("batcher is closed")
@@ -299,8 +330,15 @@ class MicroBatcher:
                 pad = np.zeros((self.max_batch - n, *rows.shape[1:]),
                                rows.dtype)
                 rows = np.concatenate([rows, pad], axis=0)
+            t0 = time.monotonic()
             try:
                 result = self._fn(rows)[:n]
+                with self._stats_lock:
+                    self._n_dispatches += 1
+                    self._rows_dispatched += n
+                    self._dispatch_ms.append((time.monotonic() - t0) * 1e3)
+                    if len(self._dispatch_ms) > 512:
+                        del self._dispatch_ms[:-512]
             except Exception as e:  # deliver the failure to the waiters
                 off = 0
                 for entry in used:

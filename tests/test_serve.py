@@ -162,6 +162,15 @@ class TestServeHTTP:
         assert np.allclose(np.asarray(json.loads(body)["output"]), out,
                            atol=1e-6)
 
+        # Observability: the two predicts above are counted, with latency
+        # percentiles from the dispatch ring.
+        with urllib.request.urlopen(served + "/stats") as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] >= 2 and stats["rows"] >= 6
+        assert stats["dispatches"] >= 2
+        assert stats["dispatch_ms_p50"] is not None
+        assert 0 < stats["mean_batch_fill"] <= 1
+
     def test_predict_image_and_errors(self, served):
         from PIL import Image
 
