@@ -61,6 +61,10 @@ def get_args_parser():
     p.add_argument("--port", default=8901, type=int)
     p.add_argument("--no_warmup", action="store_true",
                    help="skip the compile-before-accept warm-up call")
+    p.add_argument("--native_kernels", action="store_true",
+                   help="keep the checkpoint's attention implementation "
+                        "(Pallas kernel on TPU) instead of the portable "
+                        "XLA lowering — in-process --ckpt serving only")
     return p
 
 
@@ -76,6 +80,10 @@ def build_app(args, model=None):
     )
     from cross_scale_mae_tpu.utils.logging import rank0_print
 
+    if args.artifact and args.native_kernels:
+        raise SystemExit(
+            "--native_kernels applies to in-process --ckpt serving; an "
+            "exported artifact's lowering is fixed at export time")
     if model is not None:
         pass
     elif args.artifact:
@@ -90,6 +98,7 @@ def build_app(args, model=None):
             args.ckpt, args.step, pool=args.pool,
             dataset_type=args.dataset_type, canvas_scale=args.canvas_scale,
             batch_size=args.batch_size,
+            portable=not args.native_kernels,
         )
 
     state = {"warm": False}

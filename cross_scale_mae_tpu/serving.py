@@ -47,14 +47,18 @@ def prepare_serving(
     pool: str = "cls",
     dataset_type: str = "fmow_rgb",
     canvas_scale: Optional[float] = None,
+    portable: bool = True,
 ):
     """Checkpoint -> (forward(params, imgs), params, cfg, kind, canvas, C).
 
     ``forward`` takes a raw uint8 canvas batch and returns float32 pooled
     features (MAE run) or class logits (classifier run) — the exact graph
-    ``cli/export.py`` lowers into the portable artifact. Attention is
-    forced onto the XLA path so the graph lowers on every platform
-    (numerically identical to the Pallas kernels, tests/test_models.py).
+    ``cli/export.py`` lowers into the portable artifact. With
+    ``portable=True`` (the export default) attention is forced onto the
+    XLA path so the graph lowers on every platform (numerically identical
+    to the Pallas kernels, tests/test_models.py); ``portable=False``
+    (in-process TPU serving, ``cli/serve.py --native_kernels``) keeps the
+    checkpoint's attention choice — the Pallas kernel where it trained.
     """
     import jax.numpy as jnp
 
@@ -81,7 +85,7 @@ def prepare_serving(
         from cross_scale_mae_tpu.viz import prepare_model
 
         params, _state, cfg = prepare_model(ckpt, step)
-    if cfg.attention_impl != "xla":
+    if portable and cfg.attention_impl != "xla":
         cfg = cfg.replace(attention_impl="xla")
 
     if dataset_type not in DATASET_STATS:
@@ -144,12 +148,13 @@ def build_serving_model(
     dataset_type: str = "fmow_rgb",
     canvas_scale: Optional[float] = None,
     batch_size: int = 64,
+    portable: bool = True,
 ) -> ServingModel:
     """In-process serving head: one jitted static-batch program."""
     import jax
 
     forward, params, cfg, kind, canvas, c = prepare_serving(
-        ckpt, step, pool, dataset_type, canvas_scale
+        ckpt, step, pool, dataset_type, canvas_scale, portable=portable
     )
     jitted = jax.jit(lambda imgs: forward(params, imgs))
 

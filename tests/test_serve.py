@@ -195,6 +195,43 @@ class TestServeHTTP:
 
 
 @pytest.mark.slow
+def test_native_kernels_keeps_checkpoint_attention(tiny_ckpt, tmp_path):
+    """portable=False keeps the checkpoint's attention implementation (the
+    Pallas kernel on TPU); portable=True forces the XLA lowering. Same
+    numerics either way (interpret-mode kernel on CPU)."""
+    import json
+    import shutil
+
+    from cross_scale_mae_tpu.cli import serve
+    from cross_scale_mae_tpu.serving import build_serving_model
+    from cross_scale_mae_tpu.utils.checkpoint import latest_step
+
+    ck = str(tmp_path / "ck")
+    shutil.copytree(tiny_ckpt, ck)
+    step = latest_step(ck)
+    meta_path = f"{ck}/meta-{step}.json"
+    meta = json.load(open(meta_path))
+    meta["config"]["attention_impl"] = "pallas"
+    json.dump(meta, open(meta_path, "w"))
+
+    portable = build_serving_model(ck, pool="mean", batch_size=2)
+    native = build_serving_model(ck, pool="mean", batch_size=2,
+                                 portable=False)
+    assert portable.meta["model_config"]["attention_impl"] == "xla"
+    assert native.meta["model_config"]["attention_impl"] == "pallas"
+    imgs = np.random.default_rng(3).integers(
+        0, 256, (2, portable.canvas, portable.canvas, 3), np.uint8)
+    np.testing.assert_allclose(portable.fn(imgs), native.fn(imgs),
+                               rtol=1e-4, atol=1e-4)
+
+    # --native_kernels is a checkpoint-serving knob; artifacts are fixed.
+    args = serve.get_args_parser().parse_args(
+        ["--artifact", "x.stablehlo", "--native_kernels"])
+    with pytest.raises(SystemExit, match="native_kernels"):
+        serve.build_app(args)
+
+
+@pytest.mark.slow
 def test_serve_from_artifact_matches_checkpoint(tiny_ckpt, tmp_path):
     """--artifact serves the exported StableHLO module; answers must match
     the checkpoint-backed server bit-for-bit (same lowered graph)."""
