@@ -76,6 +76,10 @@ def get_args_parser():
     p.add_argument("--platforms", nargs="+", default=None,
                    help="lowering platforms (e.g. tpu cpu); default = "
                         "current backend")
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="weight-only int8 (quant.py): ~4x smaller artifact, "
+                        "HBM-bandwidth win at low serving batch; baked "
+                        "weights only")
     return p
 
 
@@ -101,7 +105,48 @@ def main(args) -> dict:
     kwargs = {}
     if args.platforms:
         kwargs["platforms"] = args.platforms
-    if args.no_bake_weights:
+    quant_drift = None
+    qparams = None
+    if args.quantize == "int8":
+        if args.no_bake_weights:
+            raise SystemExit("--quantize already implies sidecar weights "
+                             "(the int8 codes ship as <output>.q8.npz); "
+                             "drop --no_bake_weights")
+        from cross_scale_mae_tpu.quant import (
+            dequantize_params,
+            quantize_params_int8,
+        )
+
+        # The codes must be exported ARGUMENTS: trace-time eager ops on a
+        # closure constant would fold the dequantize back to full
+        # precision and the artifact would not shrink at all. The module
+        # takes (qparams, imgs); the int8 tree ships as a .q8.npz sidecar
+        # (~4x smaller than fp32) and the cast*scale fuses into each
+        # matmul at serving time.
+        qparams = quantize_params_int8(params)
+        fp_forward = forward
+
+        def forward_q(qp, imgs):
+            return fp_forward(
+                dequantize_params(qp, cfg.compute_dtype), imgs)
+
+        qspecs = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), qparams)
+        exported = jexport.export(jax.jit(forward_q), **kwargs)(
+            qspecs, img_spec)
+        # Report how far weight-only int8 moved the outputs vs full
+        # precision (cosine similarity over a random batch).
+        nb = 2 if args.symbolic_batch else args.batch_size
+        rng = np.random.default_rng(7)
+        probe = jnp.asarray(rng.integers(0, 256, (nb, canvas, canvas, c),
+                                         np.uint8))
+        a = np.asarray(forward_q(qparams, probe)).reshape(nb, -1)
+        bfp = np.asarray(fp_forward(params, probe)).reshape(nb, -1)
+        cos = (a * bfp).sum(-1) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(bfp, axis=-1) + 1e-12)
+        quant_drift = {"scheme": "int8_weight_only",
+                       "cosine_vs_fp_min": round(float(cos.min()), 6)}
+    elif args.no_bake_weights:
         param_specs = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params
         )
@@ -117,8 +162,9 @@ def main(args) -> dict:
     with open(args.output, "wb") as f:
         f.write(data)
     sidecar = None
-    if args.no_bake_weights:
-        sidecar = args.output + ".params.npz"
+    if args.no_bake_weights or qparams is not None:
+        sidecar = args.output + (
+            ".q8.npz" if qparams is not None else ".params.npz")
         flat = {}
 
         def flatten(tree, prefix=""):
@@ -128,7 +174,7 @@ def main(args) -> dict:
             else:
                 flat[prefix[:-1]] = np.asarray(tree)
 
-        flatten(params)
+        flatten(qparams if qparams is not None else params)
         np.savez(sidecar, **flat)
 
     # Self-check: deserialize, and when the local backend is among the
@@ -143,11 +189,15 @@ def main(args) -> dict:
         nb = 2 if args.symbolic_batch else args.batch_size
         rng = np.random.default_rng(0)
         imgs = rng.integers(0, 256, (nb, canvas, canvas, c), np.uint8)
-        if args.no_bake_weights:
+        if qparams is not None:
+            got = reloaded.call(qparams, jnp.asarray(imgs))
+            want = forward_q(qparams, jnp.asarray(imgs))
+        elif args.no_bake_weights:
             got = reloaded.call(params, jnp.asarray(imgs))
+            want = forward(params, jnp.asarray(imgs))
         else:
             got = reloaded.call(jnp.asarray(imgs))
-        want = forward(params, jnp.asarray(imgs))
+            want = forward(params, jnp.asarray(imgs))
         # bf16 compute: the reloaded module and the freshly-jitted forward
         # may fuse differently, so agreement is only to bf16 resolution.
         tol = 1e-4 if cfg.compute_dtype == "float32" else 3e-2
@@ -168,6 +218,7 @@ def main(args) -> dict:
         "bytes": len(data),
         "platforms": list(exported.platforms),
         "weights": "baked" if sidecar is None else sidecar,
+        "quantize": quant_drift,
         "verified": verified,
     }
     with open(args.output + ".json", "w") as f:

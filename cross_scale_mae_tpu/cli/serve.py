@@ -61,6 +61,9 @@ def get_args_parser():
     p.add_argument("--port", default=8901, type=int)
     p.add_argument("--no_warmup", action="store_true",
                    help="skip the compile-before-accept warm-up call")
+    p.add_argument("--quantize", default=None, choices=["int8"],
+                   help="weight-only int8 for in-process --ckpt serving "
+                        "(quant.py): 4x less weight HBM traffic per dispatch")
     p.add_argument("--native_kernels", action="store_true",
                    help="keep the checkpoint's attention implementation "
                         "(Pallas kernel on TPU) instead of the portable "
@@ -84,6 +87,10 @@ def build_app(args, model=None):
         raise SystemExit(
             "--native_kernels applies to in-process --ckpt serving; an "
             "exported artifact's lowering is fixed at export time")
+    if args.artifact and args.quantize:
+        raise SystemExit(
+            "--quantize applies to in-process --ckpt serving; quantize an "
+            "artifact at export time (cli/export.py --quantize int8)")
     if model is not None:
         pass
     elif args.artifact:
@@ -99,6 +106,7 @@ def build_app(args, model=None):
             dataset_type=args.dataset_type, canvas_scale=args.canvas_scale,
             batch_size=args.batch_size,
             portable=not args.native_kernels,
+            quantize=args.quantize,
         )
 
     state = {"warm": False}

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import threading
 import time
 from typing import Any, Callable, Optional
@@ -85,6 +86,15 @@ def prepare_serving(
         from cross_scale_mae_tpu.viz import prepare_model
 
         params, _state, cfg = prepare_model(ckpt, step)
+        # Serving runs the unmasked encoder only (mae_encode): drop the
+        # decoder/predictor subtrees. A baked module DCEs them anyway, but
+        # sidecar-weights forms (--no_bake_weights, --quantize int8) ship
+        # every leaf that stays in the tree — for ViT-B the decoder is
+        # ~3.5x the encoder's parameter bytes.
+        keep = {"patch_embed", "cls_token", "encoder_blocks"}
+        if cfg.apply_encoder_norm:
+            keep.add("encoder_norm")
+        params = {k: v for k, v in params.items() if k in keep}
     if portable and cfg.attention_impl != "xla":
         cfg = cfg.replace(attention_impl="xla")
 
@@ -149,23 +159,54 @@ def build_serving_model(
     canvas_scale: Optional[float] = None,
     batch_size: int = 64,
     portable: bool = True,
+    quantize: Optional[str] = None,
 ) -> ServingModel:
-    """In-process serving head: one jitted static-batch program."""
+    """In-process serving head: one jitted static-batch program.
+
+    ``quantize='int8'`` stores matmul kernels as int8 + per-channel scales
+    (weight-only; quant.py) — dequantize happens inside the jitted forward
+    and fuses into the matmuls, so HBM holds the 4x-smaller weights."""
     import jax
 
     forward, params, cfg, kind, canvas, c = prepare_serving(
         ckpt, step, pool, dataset_type, canvas_scale, portable=portable
     )
-    jitted = jax.jit(lambda imgs: forward(params, imgs))
+    quant_info = None
+    if quantize == "int8":
+        from cross_scale_mae_tpu.quant import (
+            dequantize_params,
+            quantize_params_int8,
+            quantized_bytes,
+        )
 
-    def fn(imgs: np.ndarray) -> np.ndarray:
-        return np.asarray(jitted(imgs))
+        # The codes must be jit ARGUMENTS, not closure constants: eager
+        # trace-time ops on constants would fold the dequantize back to a
+        # full-precision array (HBM win lost). As arguments the int8 tree
+        # lives on device and XLA fuses cast*scale into each matmul read.
+        qparams = jax.device_put(quantize_params_int8(params))
+        qb, fb = quantized_bytes(qparams)
+        quant_info = {"scheme": "int8_weight_only", "bytes": qb,
+                      "fp32_bytes": fb}
+        jitted_q = jax.jit(lambda qp, imgs: forward(
+            dequantize_params(qp, cfg.compute_dtype), imgs))
+
+        def fn(imgs: np.ndarray) -> np.ndarray:
+            return np.asarray(jitted_q(qparams, imgs))
+
+    elif quantize is not None:
+        raise SystemExit(f"unknown quantization scheme {quantize!r}")
+    else:
+        jitted = jax.jit(lambda imgs: forward(params, imgs))
+
+        def fn(imgs: np.ndarray) -> np.ndarray:
+            return np.asarray(jitted(imgs))
 
     meta = {
         "source": "checkpoint", "ckpt": ckpt, "kind": kind,
         "pool": pool if kind == "mae" else "n/a (classifier head)",
         "dataset_type": dataset_type,
         "input": [batch_size, canvas, canvas, c],
+        "quantize": quant_info,
         "model_config": json.loads(cfg.to_json()),
     }
     return ServingModel(fn, canvas, c, batch_size, kind, meta)
@@ -174,9 +215,13 @@ def build_serving_model(
 def load_artifact(path: str) -> ServingModel:
     """Exported ``.stablehlo`` (+ ``.json`` sidecar) -> ServingModel.
 
-    Requires a baked-weights artifact (the default export form); the
+    Serves all three export forms: baked weights (self-contained module),
+    ``--no_bake_weights`` (fp params in ``.params.npz``), and
+    ``--quantize int8`` (int8 codes in ``.q8.npz``; the dequantize is part
+    of the module and fuses into the matmuls on device). The ``.json``
     sidecar carries the input contract the exporter verified against.
     """
+    import jax
     import jax.numpy as jnp
     from jax import export as jexport
 
@@ -190,15 +235,27 @@ def load_artifact(path: str) -> ServingModel:
             f"{path}.json sidecar not found next to the artifact; "
             "cli/export.py writes it — serve from the original export"
         )
-    if isinstance(meta.get("weights"), str) and meta["weights"] != "baked":
-        raise SystemExit(
-            "artifact was exported with --no_bake_weights; serve from the "
-            "checkpoint instead (weights sidecar calls aren't wired here)"
-        )
+    weights = meta.get("weights", "baked")
+    wtree = None
+    if isinstance(weights, str) and weights != "baked":
+        from cross_scale_mae_tpu.utils.checkpoint import load_flat_npz
+
+        if not os.path.exists(weights):  # exported on another host?
+            local = path + (".q8.npz" if weights.endswith(".q8.npz")
+                            else ".params.npz")
+            if not os.path.exists(local):
+                raise SystemExit(
+                    f"weights sidecar not found: {weights} (nor {local})")
+            weights = local
+        wtree = jax.device_put(load_flat_npz(weights))
     b, canvas, _, c = meta["input"]
 
-    def fn(imgs: np.ndarray) -> np.ndarray:
-        return np.asarray(reloaded.call(jnp.asarray(imgs)))
+    if wtree is None:
+        def fn(imgs: np.ndarray) -> np.ndarray:
+            return np.asarray(reloaded.call(jnp.asarray(imgs)))
+    else:
+        def fn(imgs: np.ndarray) -> np.ndarray:
+            return np.asarray(reloaded.call(wtree, jnp.asarray(imgs)))
 
     meta = dict(meta, source="artifact", artifact=path)
     return ServingModel(fn, int(canvas), int(c), b if b is None else int(b),

@@ -203,6 +203,24 @@ def save_params_npz(path: str, params: Any, config_json: Optional[str] = None):
     np.savez(path, **flat)
 
 
+def load_flat_npz(path: str) -> Any:
+    """Rebuild the nested dict tree from a ``save_params_npz`` file without
+    a template ('/'-joined keys -> nesting). Serving-side loader for
+    sidecar-weights artifacts (incl. int8-quantized trees, whose
+    ``__int8__``/``scale`` nodes are plain dict levels here)."""
+    data = np.load(path)
+    tree: dict = {}
+    for key in data.files:
+        if key == "__config__":
+            continue
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[key]
+    return tree
+
+
 def load_params_npz(path: str, params_template: Any) -> tuple[Any, Optional[str]]:
     data = np.load(path)
     config_json = None
