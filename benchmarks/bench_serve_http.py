@@ -51,6 +51,9 @@ def main() -> None:
                     help="force a jax platform (smoke: cpu); sitecustomize "
                          "pins jax_platforms, so JAX_PLATFORMS alone "
                          "does not take (tests/conftest.py recipe)")
+    ap.add_argument("--quantize", default=None, choices=["int8"],
+                    help="weight-only int8 (quant.py): measures the "
+                         "low-batch HBM-bandwidth claim")
     args = ap.parse_args()
 
     import jax
@@ -75,14 +78,34 @@ def main() -> None:
     preprocess = make_eval_preprocess(
         FMOW_RGB_MEAN, FMOW_RGB_STD, cfg.input_size, dtype=cfg.compute_dtype)
 
-    @jax.jit
-    def forward(imgs):
-        feats = mae_encode(params, cfg, preprocess(imgs))
-        return jnp.mean(feats[:, 1:], axis=1).astype(jnp.float32)
+    if args.quantize == "int8":
+        from cross_scale_mae_tpu.quant import (
+            dequantize_params,
+            quantize_params_int8,
+        )
+
+        qparams = jax.device_put(quantize_params_int8(params))
+
+        @jax.jit
+        def forward_q(qp, imgs):
+            feats = mae_encode(
+                dequantize_params(qp, cfg.compute_dtype), cfg,
+                preprocess(imgs))
+            return jnp.mean(feats[:, 1:], axis=1).astype(jnp.float32)
+
+        def run(imgs):
+            return np.asarray(forward_q(qparams, imgs))
+    else:
+        @jax.jit
+        def forward(imgs):
+            feats = mae_encode(params, cfg, preprocess(imgs))
+            return jnp.mean(feats[:, 1:], axis=1).astype(jnp.float32)
+
+        def run(imgs):
+            return np.asarray(forward(imgs))
 
     model = ServingModel(
-        lambda imgs: np.asarray(forward(imgs)), canvas, 3,
-        args.batch_size, "mae", {"source": "bench"},
+        run, canvas, 3, args.batch_size, "mae", {"source": "bench"},
     )
     sargs = serve.get_args_parser().parse_args(
         ["--ckpt", "_injected_", "--port", "0", "--batch_size",
@@ -138,6 +161,8 @@ def main() -> None:
     server.server_close()
     best = max(r["imgs_per_sec"] for r in results)
     tag = args.model.replace("mae_vit_", "vit")
+    if args.quantize:
+        tag += f"_{args.quantize}"
     print(json.dumps({
         "metric": f"http_serving_imgs_per_sec_{tag}_{args.input_size}px",
         "value": best, "unit": "imgs/sec/chip", "rows": results}))
