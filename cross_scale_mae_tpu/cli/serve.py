@@ -61,6 +61,8 @@ def get_args_parser():
     p.add_argument("--port", default=8901, type=int)
     p.add_argument("--no_warmup", action="store_true",
                    help="skip the compile-before-accept warm-up call")
+    p.add_argument("--max_request_mb", default=256, type=int,
+                   help="reject request bodies larger than this (413)")
     p.add_argument("--quantize", default=None, choices=["int8"],
                    help="weight-only int8 for in-process --ckpt serving "
                         "(quant.py): 4x less weight HBM traffic per dispatch")
@@ -154,6 +156,11 @@ def build_app(args, model=None):
 
         def do_POST(self):
             n = int(self.headers.get("Content-Length", 0))
+            if n > args.max_request_mb * 1024 * 1024:
+                self._json(413, {"error": f"request body {n} bytes exceeds "
+                                          f"--max_request_mb "
+                                          f"{args.max_request_mb}"})
+                return
             body = self.rfile.read(n)
             try:
                 if self.path == "/predict":

@@ -190,6 +190,10 @@ class TestServeHTTP:
         assert code == 400 and b"expected" in body
         code, _, _ = _post(served + "/nope", b"")
         assert code == 404
+        # Oversized body -> 413 before any buffering.
+        code, body, _ = _post(served + "/predict", b"x",
+                              {"Content-Length": str(10 * 1024 ** 3)})
+        assert code == 413
         with urllib.request.urlopen(served + "/healthz") as r:
             assert json.loads(r.read())["ok"]
 
