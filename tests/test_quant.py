@@ -149,6 +149,42 @@ class TestQuantIntegration:
         out = model.fn(imgs)
         assert out.shape[0] == 4 and np.isfinite(out).all()
 
+    def test_quantized_classifier_keeps_argmax(self, tiny_ckpt, tmp_path):
+        """Classifier checkpoints quantize too (head kernel int8, BN-head
+        stats fp); predicted classes must survive weight-only int8."""
+        from cross_scale_mae_tpu.cli import export as export_cli
+        from cross_scale_mae_tpu.cli import finetune
+        from cross_scale_mae_tpu.serving import (
+            build_serving_model,
+            load_artifact,
+        )
+
+        out = str(tmp_path / "ft")
+        res = finetune.main(finetune.get_args_parser().parse_args([
+            "--model", "vit_base_patch16", "--embed_dim", "128",
+            "--depth", "4", "--num_heads", "8", "--input_size", "16",
+            "--patch_size", "8", "--finetune", tiny_ckpt,
+            "--dataset_type", "synthetic", "--synthetic_len", "32",
+            "--nb_classes", "3", "--batch_size", "16", "--epochs", "1",
+            "--warmup_epochs", "0", "--output_dir", out,
+            "--compute_dtype", "float32", "--log_interval", "2",
+        ]))
+        ck = os.path.join(res["output_dir"], "checkpoints")
+        art = str(tmp_path / "cls_q8.stablehlo")
+        meta = export_cli.main(export_cli.get_args_parser().parse_args(
+            ["--ckpt", ck, "--output", art, "--batch_size", "4",
+             "--quantize", "int8"]))
+        assert meta["kind"] == "classifier"
+        assert meta["verified"] == "roundtrip"
+        model = load_artifact(art)
+        fp = build_serving_model(ck, batch_size=4)
+        imgs = np.random.default_rng(6).integers(
+            0, 256, (4, model.canvas, model.canvas, 3), np.uint8)
+        lq = model.fn(imgs)
+        lf = fp.fn(imgs)
+        assert lq.shape == (4, 3)
+        np.testing.assert_array_equal(lq.argmax(-1), lf.argmax(-1))
+
     def test_serve_quantized_matches_fp(self, tiny_ckpt):
         from cross_scale_mae_tpu.serving import build_serving_model
 
