@@ -38,6 +38,13 @@ def prepare_model(
     meta_path = os.path.join(os.path.abspath(ckpt_dir), f"meta-{step}.json")
     with open(meta_path) as f:
         meta = json.load(f)
+    from cross_scale_mae_tpu.utils.checkpoint import checkpoint_kind
+
+    if checkpoint_kind(meta) != "mae":
+        raise SystemExit(
+            f"{ckpt_dir} is a finetune/linprobe (classifier) checkpoint; "
+            "this surface rebuilds MAE pretrain runs — use cli/export or "
+            "cli/serve for classifier checkpoints")
     cfg = MAEConfig.from_json(json.dumps(meta["config"]))
     params, state = mae_init(jax.random.key(0), cfg)
     # Restore to HOST numpy (viz doesn't know the training optimizer's
