@@ -187,7 +187,9 @@ def build_app(args, model=None):
                     self._json(200, {"output": out[0].tolist()})
                 else:
                     self._json(404, {"error": f"no route {self.path}"})
-            except (ValueError, OSError) as e:
+            except (ValueError, OSError, EOFError) as e:
+                # malformed npy/image bodies (np.load raises EOFError on an
+                # empty buffer, PIL raises UnidentifiedImageError <: OSError)
                 self._json(400, {"error": str(e)})
             except RuntimeError as e:
                 self._json(503, {"error": str(e)})

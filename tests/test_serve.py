@@ -194,6 +194,14 @@ class TestServeHTTP:
         code, body, _ = _post(served + "/predict", b"x",
                               {"Content-Length": str(10 * 1024 ** 3)})
         assert code == 413
+        # Garbage/empty bodies -> 400, never a handler crash.
+        for junk in (b"", b"garbage" * 10, b"\x93NUMPY corrupt"):
+            code, _, _ = _post(served + "/predict", junk)
+            assert code == 400, junk
+            code, _, _ = _post(served + "/predict_image", junk)
+            assert code == 400, junk
+        with urllib.request.urlopen(served + "/healthz") as r:
+            assert json.loads(r.read())["ok"]
         with urllib.request.urlopen(served + "/healthz") as r:
             assert json.loads(r.read())["ok"]
 
