@@ -70,6 +70,10 @@ def get_args_parser():
                    help="keep the checkpoint's attention implementation "
                         "(Pallas kernel on TPU) instead of the portable "
                         "XLA lowering — in-process --ckpt serving only")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard each compiled batch over all local devices "
+                        "(params replicated; --batch_size must divide by "
+                        "the device count) — in-process --ckpt serving")
     return p
 
 
@@ -93,6 +97,10 @@ def build_app(args, model=None):
         raise SystemExit(
             "--quantize applies to in-process --ckpt serving; quantize an "
             "artifact at export time (cli/export.py --quantize int8)")
+    if args.artifact and args.data_parallel:
+        raise SystemExit(
+            "--data_parallel applies to in-process --ckpt serving; an "
+            "exported artifact's device layout is fixed at export time")
     if model is not None:
         pass
     elif args.artifact:
@@ -109,6 +117,7 @@ def build_app(args, model=None):
             batch_size=args.batch_size,
             portable=not args.native_kernels,
             quantize=args.quantize,
+            data_parallel=args.data_parallel,
         )
 
     state = {"warm": False}

@@ -160,17 +160,38 @@ def build_serving_model(
     batch_size: int = 64,
     portable: bool = True,
     quantize: Optional[str] = None,
+    data_parallel: bool = False,
 ) -> ServingModel:
     """In-process serving head: one jitted static-batch program.
 
     ``quantize='int8'`` stores matmul kernels as int8 + per-channel scales
     (weight-only; quant.py) — dequantize happens inside the jitted forward
-    and fuses into the matmuls, so HBM holds the 4x-smaller weights."""
+    and fuses into the matmuls, so HBM holds the 4x-smaller weights.
+
+    ``data_parallel=True`` shards the compiled batch over ALL local
+    devices (1-D ``Mesh('data')``, params replicated): the micro-batcher
+    still coalesces requests onto one static-shape program, but each
+    dispatch splits its rows across the mesh — TPU-pod serving is the
+    same program at a bigger ``batch_size``. No-op on a single chip."""
     import jax
 
     forward, params, cfg, kind, canvas, c = prepare_serving(
         ckpt, step, pool, dataset_type, canvas_scale, portable=portable
     )
+    batch_sh = repl = None
+    n_dev = None
+    if data_parallel:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        devs = jax.devices()
+        n_dev = len(devs)
+        if batch_size % n_dev:
+            raise SystemExit(
+                f"--batch_size {batch_size} must be divisible by the device "
+                f"count {n_dev} for data-parallel serving")
+        mesh = Mesh(np.asarray(devs), ("data",))
+        batch_sh = NamedSharding(mesh, PartitionSpec("data"))
+        repl = NamedSharding(mesh, PartitionSpec())
     quant_info = None
     if quantize == "int8":
         from cross_scale_mae_tpu.quant import (
@@ -183,18 +204,30 @@ def build_serving_model(
         # trace-time ops on constants would fold the dequantize back to a
         # full-precision array (HBM win lost). As arguments the int8 tree
         # lives on device and XLA fuses cast*scale into each matmul read.
-        qparams = jax.device_put(quantize_params_int8(params))
+        qparams = jax.device_put(quantize_params_int8(params), repl)
         qb, fb = quantized_bytes(qparams)
         quant_info = {"scheme": "int8_weight_only", "bytes": qb,
                       "fp32_bytes": fb}
+        jit_kw = ({"in_shardings": (repl, batch_sh),
+                   "out_shardings": batch_sh} if data_parallel else {})
         jitted_q = jax.jit(lambda qp, imgs: forward(
-            dequantize_params(qp, cfg.compute_dtype), imgs))
+            dequantize_params(qp, cfg.compute_dtype), imgs), **jit_kw)
 
         def fn(imgs: np.ndarray) -> np.ndarray:
             return np.asarray(jitted_q(qparams, imgs))
 
     elif quantize is not None:
         raise SystemExit(f"unknown quantization scheme {quantize!r}")
+    elif data_parallel:
+        # Params become an explicit replicated argument so the sharding is
+        # pinned, not left to GSPMD's constant propagation.
+        params_dev = jax.device_put(params, repl)
+        jitted_dp = jax.jit(forward, in_shardings=(repl, batch_sh),
+                            out_shardings=batch_sh)
+
+        def fn(imgs: np.ndarray) -> np.ndarray:
+            return np.asarray(jitted_dp(params_dev, imgs))
+
     else:
         jitted = jax.jit(lambda imgs: forward(params, imgs))
 
@@ -207,6 +240,7 @@ def build_serving_model(
         "dataset_type": dataset_type,
         "input": [batch_size, canvas, canvas, c],
         "quantize": quant_info,
+        "data_parallel": n_dev,
         "model_config": json.loads(cfg.to_json()),
     }
     return ServingModel(fn, canvas, c, batch_size, kind, meta)

@@ -244,6 +244,49 @@ def test_native_kernels_keeps_checkpoint_attention(tiny_ckpt, tmp_path):
 
 
 @pytest.mark.slow
+def test_data_parallel_serving_matches_single_device(tiny_ckpt):
+    """--data_parallel shards the compiled serving batch over the device
+    mesh (8 virtual CPU devices here) with replicated params; answers must
+    match the single-device program, fp and int8 alike."""
+    import jax
+
+    from cross_scale_mae_tpu.serving import build_serving_model
+
+    n_dev = jax.device_count()
+    assert n_dev >= 2, "conftest forces an 8-device CPU mesh"
+    single = build_serving_model(tiny_ckpt, pool="mean", batch_size=n_dev * 2)
+    dp = build_serving_model(tiny_ckpt, pool="mean", batch_size=n_dev * 2,
+                             data_parallel=True)
+    assert dp.meta["data_parallel"] == n_dev
+    imgs = np.random.default_rng(5).integers(
+        0, 256, (n_dev * 2, dp.canvas, dp.canvas, 3), np.uint8)
+    np.testing.assert_allclose(dp.fn(imgs), single.fn(imgs),
+                               rtol=1e-5, atol=1e-5)
+
+    # int8 + data-parallel compose: same answers as single-device int8.
+    q_single = build_serving_model(tiny_ckpt, pool="mean",
+                                   batch_size=n_dev * 2, quantize="int8")
+    q_dp = build_serving_model(tiny_ckpt, pool="mean", batch_size=n_dev * 2,
+                               quantize="int8", data_parallel=True)
+    np.testing.assert_allclose(q_dp.fn(imgs), q_single.fn(imgs),
+                               rtol=1e-5, atol=1e-5)
+
+    # Batch not divisible by the mesh is a loud config error.
+    with pytest.raises(SystemExit, match="divisible"):
+        build_serving_model(tiny_ckpt, pool="mean", batch_size=n_dev + 1,
+                            data_parallel=True)
+
+    # The artifact path's layout is fixed at export; flag combination is
+    # rejected up front.
+    from cross_scale_mae_tpu.cli import serve
+
+    args = serve.get_args_parser().parse_args(
+        ["--artifact", "x.stablehlo", "--data_parallel"])
+    with pytest.raises(SystemExit, match="data_parallel"):
+        serve.build_app(args)
+
+
+@pytest.mark.slow
 def test_serve_from_artifact_matches_checkpoint(tiny_ckpt, tmp_path):
     """--artifact serves the exported StableHLO module; answers must match
     the checkpoint-backed server bit-for-bit (same lowered graph)."""
