@@ -32,6 +32,14 @@ def add_runtime_args(p: argparse.ArgumentParser):
                    help="multi-host: jax.distributed coordinator")
     g.add_argument("--num_processes", default=None, type=int)
     g.add_argument("--process_id", default=None, type=int)
+    g.add_argument("--jax_platforms", default=None,
+                   help="pin jax.config.jax_platforms (e.g. 'cpu') before "
+                        "the backend initializes. Needed over the "
+                        "JAX_PLATFORMS env var when the environment "
+                        "pre-seeds the config at import (this image's "
+                        "sitecustomize pins 'axon,cpu', which silently "
+                        "beats the env var) — e.g. for cli/launch.py "
+                        "workers on the virtual CPU mesh")
     g.add_argument("--use_tensorboard", action="store_true")
     g.add_argument("--use_wandb", action="store_true")
     g.add_argument("--wandb_project", default="cross_scale_mae_tpu")
@@ -95,6 +103,10 @@ def setup_runtime(args) -> dict[str, Any]:
     """Distributed init + mesh + per-host seeding. Returns context dict."""
     from cross_scale_mae_tpu.parallel import initialize_distributed, make_mesh
 
+    if getattr(args, "jax_platforms", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.jax_platforms)
     info = initialize_distributed(
         args.coordinator_address, args.num_processes, args.process_id
     )

@@ -330,6 +330,21 @@ def main(args) -> dict:
     # ---- epoch loop
     from cross_scale_mae_tpu.data.loader import device_prefetch
 
+    # ---- fault injection (failure drills): CSM_FAULT_STEP=k kills THIS
+    # process hard (os._exit, no checkpoint, no cleanup) after global step
+    # k — a lost host, as far as the peers and the elastic launcher
+    # (cli/launch.py) are concerned. CSM_FAULT_PROCESS picks the victim
+    # rank; CSM_FAULT_ATTEMPT scopes it to one launcher attempt so the
+    # relaunch doesn't re-fault. The reference has no fault injection at
+    # all (SURVEY.md §5).
+    fault_step = int(os.environ.get("CSM_FAULT_STEP", "0"))
+    if fault_step and (
+        jax.process_index() != int(os.environ.get("CSM_FAULT_PROCESS", "0"))
+        or os.environ.get("CSM_LAUNCH_ATTEMPT", "1")
+        != os.environ.get("CSM_FAULT_ATTEMPT", "1")
+    ):
+        fault_step = 0
+
     rng = jax.random.key(args.seed + 1)
     total_steps = 0
     last_metrics = {}
@@ -367,6 +382,11 @@ def main(args) -> dict:
                     epoch_1000x(epoch + it / steps_per_epoch), fetched
                 )
             total_steps += 1
+            if fault_step and total_steps >= fault_step:
+                print(f"[fault-injection] killing process "
+                      f"{jax.process_index()} at step {total_steps}",
+                      flush=True)
+                os._exit(13)
             if stop_requested["flag"]:
                 break
             if args.max_steps and total_steps >= args.max_steps:

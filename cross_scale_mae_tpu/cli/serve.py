@@ -202,6 +202,10 @@ def build_app(args, model=None):
                 self._json(400, {"error": str(e)})
             except RuntimeError as e:
                 self._json(503, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — last resort: answer 500
+                # rather than killing the handler thread mid-response (the
+                # client would see a bare connection reset, no diagnostics)
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
     server = ThreadingHTTPServer((args.host, args.port), Handler)
     rank0_print(

@@ -436,10 +436,8 @@ class MicroBatcher:
                     if len(self._dispatch_ms) > 512:
                         del self._dispatch_ms[:-512]
             except Exception as e:  # deliver the failure to the waiters
-                off = 0
                 for entry in used:
                     entry["cb"](e)
-                    off += len(entry["rows"])
                 continue
             off = 0
             for entry in used:

@@ -545,3 +545,62 @@ def test_two_process_fsdp_tensor_parallel(tmp_path):
     assert results[0][0] == results[1][0] == 2
     assert np.isfinite(results[0][1])
     np.testing.assert_allclose(results[0][1], results[1][1], rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_elastic_launcher_kills_peer_shrinks_and_resumes(tmp_path, monkeypatch):
+    """Full elastic drill through cli/launch.py: a 2-process pretrain run
+    loses worker 1 mid-epoch (fault injection, CSM_FAULT_STEP), the
+    launcher tears the wedged survivor down, relaunches at nprocs=1
+    (--elastic lost-host semantics) resuming from the newest checkpoint,
+    and the shrunk world finishes the remaining epochs."""
+    from cross_scale_mae_tpu.cli import launch
+    from cross_scale_mae_tpu.utils.checkpoint import latest_step
+
+    workdir = tmp_path / "work"
+    workdir.mkdir()
+    # Worker env: the launcher passes os.environ through to the gang.
+    # (Platform selection must go through the CLI's --jax_platforms flag,
+    # not the JAX_PLATFORMS env var — this image's sitecustomize pins the
+    # jax_platforms CONFIG to 'axon,cpu' at import, which beats the env.)
+    monkeypatch.setenv("XLA_FLAGS", "--xla_force_host_platform_device_count=4")
+    # Kill rank 1 hard at global step 3 (epoch 1, after epoch 0's
+    # checkpoint), first launch attempt only.
+    monkeypatch.setenv("CSM_FAULT_STEP", "3")
+    monkeypatch.setenv("CSM_FAULT_PROCESS", "1")
+    monkeypatch.setenv("CSM_FAULT_ATTEMPT", "1")
+
+    args = launch.get_args_parser().parse_args([
+        "--nprocs", "2", "--elastic", "--min_procs", "1",
+        "--max_restarts", "2", "--workdir", str(workdir),
+        "--grace_s", "5",
+        "--",
+        sys.executable, "-m", "cross_scale_mae_tpu.cli.pretrain",
+        "--model", "mae_vit_tiny_MsLd", "--dataset_type", "synthetic",
+        "--synthetic_len", "64", "--input_size", "16", "--patch_size", "8",
+        "--batch_size", "32", "--epochs", "5", "--warmup_epochs", "0",
+        "--ckpt_interval", "1", "--output_dir", str(workdir / "out"),
+        "--compute_dtype", "float32", "--log_interval", "1",
+        "--jax_platforms", "cpu",
+    ])
+    res = launch.main(args)
+    assert res["success"], res
+    assert res["attempts"] == 2 and res["restarts"] == 1
+    assert res["final_nprocs"] == 1  # shrunk by the lost "host"
+
+    state = json.loads((workdir / "launcher" / "state.json").read_text())
+    assert state["attempt"] == 2 and state["nprocs"] == 1
+    # The relaunch was pointed at the discovered checkpoint...
+    assert state["cmd"][-2] == "--resume"
+
+    log1 = (workdir / "launcher" / "attempt1.worker1.log").read_text()
+    assert "[fault-injection]" in log1
+    log2 = (workdir / "launcher" / "attempt2.worker0.log").read_text()
+    assert "resumed from" in log2  # ...and actually resumed (epoch 1)
+
+    # epoch 0 ran twice (pre-fault + recompute after resume-at-epoch-1) but
+    # the final optimizer step count is exactly the 5-epoch schedule:
+    # 2 steps/epoch x 5 (global batch is world-size-invariant).
+    ckpts = launch.find_latest_checkpoints(str(workdir))
+    assert ckpts is not None
+    assert latest_step(ckpts) == 10
