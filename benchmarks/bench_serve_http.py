@@ -96,13 +96,19 @@ def main() -> None:
         def run(imgs):
             return np.asarray(forward_q(qparams, imgs))
     else:
+        # Params as a jit ARGUMENT, not a closure constant: closed-over
+        # arrays are baked into the lowered module, which balloons the
+        # compile payload (the axon remote-compile tunnel rejects a
+        # ViT-B's ~100 MB of baked weights with HTTP 413).
+        params_dev = jax.device_put(params)
+
         @jax.jit
-        def forward(imgs):
-            feats = mae_encode(params, cfg, preprocess(imgs))
+        def forward(p, imgs):
+            feats = mae_encode(p, cfg, preprocess(imgs))
             return jnp.mean(feats[:, 1:], axis=1).astype(jnp.float32)
 
         def run(imgs):
-            return np.asarray(forward(imgs))
+            return np.asarray(forward(params_dev, imgs))
 
     model = ServingModel(
         run, canvas, 3, args.batch_size, "mae", {"source": "bench"},

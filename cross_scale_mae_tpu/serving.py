@@ -229,10 +229,16 @@ def build_serving_model(
             return np.asarray(jitted_dp(params_dev, imgs))
 
     else:
-        jitted = jax.jit(lambda imgs: forward(params, imgs))
+        # Params as a jit ARGUMENT, not a closure constant: closed-over
+        # arrays get baked into the lowered module as constants, which
+        # balloons the compile payload (a remote-compile transport — e.g.
+        # the axon tunnel — rejects ViT-B's ~100 MB of baked weights) and
+        # re-traces if the params object is rebuilt.
+        params_dev = jax.device_put(params)
+        jitted = jax.jit(forward)
 
         def fn(imgs: np.ndarray) -> np.ndarray:
-            return np.asarray(jitted(imgs))
+            return np.asarray(jitted(params_dev, imgs))
 
     meta = {
         "source": "checkpoint", "ckpt": ckpt, "kind": kind,
