@@ -51,6 +51,9 @@ def main() -> None:
                     help="force a jax platform (smoke: cpu); sitecustomize "
                          "pins jax_platforms, so JAX_PLATFORMS alone "
                          "does not take (tests/conftest.py recipe)")
+    ap.add_argument("--batch_buckets", type=int, nargs="+", default=None,
+                    help="compiled batch-size buckets (largest == "
+                         "--batch_size): measures the low-load latency win")
     ap.add_argument("--quantize", default=None, choices=["int8"],
                     help="weight-only int8 (quant.py): measures the "
                          "low-batch HBM-bandwidth claim")
@@ -113,9 +116,12 @@ def main() -> None:
     model = ServingModel(
         run, canvas, 3, args.batch_size, "mae", {"source": "bench"},
     )
-    sargs = serve.get_args_parser().parse_args(
-        ["--ckpt", "_injected_", "--port", "0", "--batch_size",
-         str(args.batch_size), "--max_delay_ms", str(args.max_delay_ms)])
+    serve_argv = ["--ckpt", "_injected_", "--port", "0", "--batch_size",
+                  str(args.batch_size), "--max_delay_ms",
+                  str(args.max_delay_ms)]
+    if args.batch_buckets:
+        serve_argv += ["--batch_buckets"] + [str(b) for b in args.batch_buckets]
+    sargs = serve.get_args_parser().parse_args(serve_argv)
     server, batcher = serve.build_app(sargs, model=model)
     threading.Thread(target=server.serve_forever, daemon=True).start()
     base = f"http://127.0.0.1:{server.server_address[1]}"

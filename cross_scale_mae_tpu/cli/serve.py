@@ -57,6 +57,14 @@ def get_args_parser():
     p.add_argument("--max_delay_ms", default=5.0, type=float,
                    help="batching window: how long a request waits for "
                         "co-riders before dispatch")
+    p.add_argument("--batch_buckets", default=None, type=int, nargs="+",
+                   help="compiled batch sizes (largest must equal "
+                        "--batch_size): each dispatch pads to the SMALLEST "
+                        "bucket that fits instead of always to the max — "
+                        "cuts low-load latency for a few extra compiles "
+                        "(e.g. --batch_buckets 8 16 64). In-process --ckpt "
+                        "serving (an artifact has its shapes fixed at "
+                        "export; use a --symbolic_batch export instead)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", default=8901, type=int)
     p.add_argument("--no_warmup", action="store_true",
@@ -101,6 +109,15 @@ def build_app(args, model=None):
         raise SystemExit(
             "--data_parallel applies to in-process --ckpt serving; an "
             "exported artifact's device layout is fixed at export time")
+    if args.artifact and args.batch_buckets:
+        raise SystemExit(
+            "--batch_buckets applies to in-process --ckpt serving; an "
+            "artifact's input shapes are fixed at export time (export "
+            "with --symbolic_batch for shape-flexible artifacts)")
+    if args.batch_buckets and args.data_parallel:
+        raise SystemExit(
+            "--batch_buckets and --data_parallel don't compose: the "
+            "data-parallel program pins one sharded batch shape")
     if model is not None:
         pass
     elif args.artifact:
@@ -120,17 +137,25 @@ def build_app(args, model=None):
             data_parallel=args.data_parallel,
         )
 
+    buckets = getattr(args, "batch_buckets", None)
+    if buckets and model.batch_size is not None \
+            and max(buckets) != model.batch_size:
+        raise SystemExit(
+            f"largest --batch_buckets entry {max(buckets)} must equal "
+            f"--batch_size {model.batch_size}")
     state = {"warm": False}
     if not args.no_warmup:
-        # Pay the XLA compile before the socket opens, not on request one.
-        zeros = np.zeros(
-            (model.batch_size, model.canvas, model.canvas, model.channels),
-            np.uint8)
-        model.fn(zeros)
+        # Pay the XLA compiles before the socket opens, not on request one
+        # (one program per bucket when --batch_buckets is given).
+        for b in sorted(set(buckets or [model.batch_size])):
+            zeros = np.zeros(
+                (b, model.canvas, model.canvas, model.channels), np.uint8)
+            model.fn(zeros)
         state["warm"] = True
 
     batcher = MicroBatcher(model.fn, model.batch_size, model.canvas,
-                           model.channels, max_delay_ms=args.max_delay_ms)
+                           model.channels, max_delay_ms=args.max_delay_ms,
+                           buckets=buckets)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):  # quiet per-request stderr spam

@@ -311,12 +311,31 @@ class MicroBatcher:
     takes up to ``max_batch`` rows, pads the tail request to the static
     shape, runs ``fn`` once, and scatters the slices back. With a
     polymorphic-batch artifact (``max_batch=None``) padding is skipped.
+
+    ``buckets`` (sorted ascending, max == ``max_batch``) trades a few
+    extra compiles for low-load latency: each dispatch pads only to the
+    SMALLEST bucket that fits its rows instead of always to ``max_batch``
+    — a lone 8-row request rides a batch-8 program, not a 7/8-padding
+    batch-64 one. TPU-idiomatic dynamic batching: still a handful of
+    static shapes (jit specializes per bucket), never per-request shapes.
     """
 
     def __init__(self, fn, max_batch: Optional[int], canvas: int,
-                 channels: int, max_delay_ms: float = 5.0):
+                 channels: int, max_delay_ms: float = 5.0,
+                 buckets: Optional[list[int]] = None):
         self._fn = fn
         self.max_batch = max_batch
+        if buckets is not None:
+            buckets = sorted(set(int(b) for b in buckets))
+            if not buckets or any(b < 1 for b in buckets):
+                raise ValueError(f"bad batch buckets {buckets}")
+            if max_batch is None:
+                raise ValueError("buckets need a static max_batch")
+            if buckets[-1] != max_batch:
+                raise ValueError(
+                    f"largest bucket {buckets[-1]} must equal the compiled "
+                    f"max batch {max_batch}")
+        self.buckets = buckets
         self._shape = (canvas, canvas, channels)
         self._delay = max_delay_ms / 1e3
         self._cv = threading.Condition()
@@ -329,6 +348,7 @@ class MicroBatcher:
         self._n_rows = 0
         self._n_dispatches = 0
         self._rows_dispatched = 0
+        self._rows_padded = 0  # sum of dispatched (bucket) batch sizes
         self._dispatch_ms: list[float] = []  # ring, newest last
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -340,9 +360,8 @@ class MicroBatcher:
             n = len(lat)
             pct = (lambda q: round(lat[min(n - 1, int(q * n))], 2)) if n \
                 else (lambda q: None)
-            fill = (self._rows_dispatched
-                    / (self._n_dispatches * self.max_batch)
-                    if self._n_dispatches and self.max_batch else None)
+            fill = (self._rows_dispatched / self._rows_padded
+                    if self._rows_padded and self.max_batch else None)
             return {
                 "requests": self._n_requests,
                 "rows": self._n_rows,
@@ -428,9 +447,11 @@ class MicroBatcher:
                     batch, used = [e["rows"]], [e]
             rows = np.concatenate(batch, axis=0)
             n = len(rows)
-            if self.max_batch and n < self.max_batch:
-                pad = np.zeros((self.max_batch - n, *rows.shape[1:]),
-                               rows.dtype)
+            target = self.max_batch
+            if target and self.buckets:
+                target = next(b for b in self.buckets if b >= n)
+            if target and n < target:
+                pad = np.zeros((target - n, *rows.shape[1:]), rows.dtype)
                 rows = np.concatenate([rows, pad], axis=0)
             t0 = time.monotonic()
             try:
@@ -438,6 +459,7 @@ class MicroBatcher:
                 with self._stats_lock:
                     self._n_dispatches += 1
                     self._rows_dispatched += n
+                    self._rows_padded += target or n
                     self._dispatch_ms.append((time.monotonic() - t0) * 1e3)
                     if len(self._dispatch_ms) > 512:
                         del self._dispatch_ms[:-512]

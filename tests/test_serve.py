@@ -50,6 +50,37 @@ class TestMicroBatcher:
         # (each dispatch is padded to the static max_batch=8).
         assert len(calls) < 3 and all(c == 8 for c in calls)
 
+    def test_buckets_dispatch_smallest_fitting(self):
+        # --batch_buckets semantics: a dispatch pads to the SMALLEST
+        # compiled bucket that fits its rows, not always to max_batch.
+        from cross_scale_mae_tpu.serving import MicroBatcher
+
+        calls = []
+
+        def fn(rows):
+            calls.append(len(rows))
+            return rows[..., 0, 0, 0].astype(np.float32) * 2.0
+
+        b = MicroBatcher(fn, 8, 4, 3, max_delay_ms=0.0, buckets=[2, 4, 8])
+        one = b.submit(np.full((1, 4, 4, 3), 5, np.uint8))
+        np.testing.assert_allclose(one, [10.0])
+        assert calls[-1] == 2  # 1 row -> bucket 2, not 8
+        three = b.submit(np.full((3, 4, 4, 3), 7, np.uint8))
+        np.testing.assert_allclose(three, np.full(3, 14.0))
+        assert calls[-1] == 4  # 3 rows -> bucket 4
+        stats = b.stats()
+        b.close()
+        # fill accounting uses the PADDED bucket sizes: (1+3)/(2+4)
+        np.testing.assert_allclose(stats["mean_batch_fill"], 4 / 6, atol=1e-3)
+
+    def test_bucket_validation(self):
+        from cross_scale_mae_tpu.serving import MicroBatcher
+
+        with pytest.raises(ValueError, match="must equal"):
+            MicroBatcher(lambda r: r, 8, 4, 3, buckets=[2, 4])
+        with pytest.raises(ValueError, match="max_batch"):
+            MicroBatcher(lambda r: r, None, 4, 3, buckets=[2, 4])
+
     def test_oversize_request_is_chunked(self):
         b, calls = self._make(max_batch=4, delay=0.0)
         imgs = np.arange(10, dtype=np.uint8).repeat(4 * 4 * 3).reshape(
