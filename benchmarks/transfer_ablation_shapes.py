@@ -79,11 +79,12 @@ def _shape_mask(cls: int, size: int, cx: float, cy: float, theta: float):
         np.abs(v) <= L / 2)
 
 
-def make_dataset(root: str, n_per_class: int = 400, size: int = SIZE):
+def make_dataset(root: str, n_per_class: int = 400, size: int = SIZE,
+                 seed: int = 0):
     """Area-matched shapes on random-grating backgrounds (see module doc)."""
     from PIL import Image
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     os.makedirs(root, exist_ok=True)
     rows_train, rows_val = [], []
     coord = np.arange(size, dtype=np.float32) - size / 2
@@ -122,7 +123,7 @@ def make_dataset(root: str, n_per_class: int = 400, size: int = SIZE):
 
 def run_finetune(ckpt: str, train_csv: str, val_csv: str, out_dir: str,
                  epochs: int, batch_size: int = 32,
-                 blr: float = 1e-3) -> float:
+                 blr: float = 1e-3, seed: int = 0) -> float:
     """Reference finetune recipe (layer-decay AdamW) on the tiny encoder."""
     from cross_scale_mae_tpu.cli import finetune
 
@@ -132,7 +133,7 @@ def run_finetune(ckpt: str, train_csv: str, val_csv: str, out_dir: str,
         "--finetune", ckpt, "--dataset_type", "fmow_rgb",
         "--train_path", train_csv, "--test_path", val_csv,
         "--nb_classes", "4", "--batch_size", str(batch_size),
-        "--epochs", str(epochs), "--warmup_epochs", "5",
+        "--epochs", str(epochs), "--warmup_epochs", "5", "--seed", str(seed),
         "--blr", str(blr), "--output_dir", out_dir, "--log_interval", "50",
     ]))
     return float(res["max_acc"])
@@ -147,6 +148,14 @@ def main():
     ap.add_argument("--ft_epochs", type=int, default=60)
     ap.add_argument("--ft_labels", type=int, default=50,
                     help="labels per class for the low-label finetune arm")
+    ap.add_argument("--ft_blr", type=float, default=5e-3,
+                    help="finetune base lr. MEASURED: the reference recipe "
+                         "default (1e-3 -> lr 1.25e-4 at bs 32) is "
+                         "optimization-bound at this scale — BOTH inits sit "
+                         "at chance with train loss pinned at ln(4); 5e-3 "
+                         "trains (random init 95.6%% full-label)")
+    ap.add_argument("--ft_full_epochs", type=int, default=30,
+                    help="epochs for the full-label finetune arm")
     ap.add_argument("--attention", default="xla",
                     help="pretrain attention impl (xla runs everywhere; "
                          "pallas_v3 on TPU)")
@@ -156,6 +165,10 @@ def main():
                          "does not take (tests/conftest.py recipe)")
     ap.add_argument("--reuse", action="store_true",
                     help="reuse existing dataset + pretrain checkpoint")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="seeds the dataset generator AND every training "
+                         "arm (pretrain/probe/finetune) — run several "
+                         "seeds for error bars")
     args = ap.parse_args()
 
     if args.platform:
@@ -168,7 +181,7 @@ def main():
     if not (args.reuse and os.path.exists(ckpt_marker)):
         shutil.rmtree(args.workdir, ignore_errors=True)
     data = os.path.join(args.workdir, "data")
-    train_csv, val_csv, n_train, n_val = make_dataset(data)
+    train_csv, val_csv, n_train, n_val = make_dataset(data, seed=args.seed)
     print(f"dataset: {n_train} train / {n_val} val (classes {CLASSES}, "
           f"area-matched {AREA:.0f} px^2)", flush=True)
 
@@ -186,6 +199,7 @@ def main():
             "--batch_size", "128", "--epochs", str(args.epochs),
             "--warmup_epochs", "2", "--ckpt_interval", str(args.epochs),
             "--unroll_blocks", "--attention_impl", args.attention,
+            "--seed", str(args.seed),
             "--output_dir", pt_out, "--log_interval", "100",
         ]))
         ckpt = os.path.join(res["output_dir"], "checkpoints")
@@ -198,11 +212,11 @@ def main():
     # ablation: random control vs pretrained).
     acc_random = run_probe("", train_csv, val_csv,
                            os.path.join(args.workdir, "probe_random"),
-                           args.probe_epochs)
+                           args.probe_epochs, seed=args.seed)
     print(f"probe RANDOM frozen encoder: {acc_random:.2f}%", flush=True)
     acc_pre = run_probe(ckpt, train_csv, val_csv,
                         os.path.join(args.workdir, "probe_pretrained"),
-                        args.probe_epochs)
+                        args.probe_epochs, seed=args.seed)
     print(f"probe PRETRAINED frozen encoder: {acc_pre:.2f}%", flush=True)
 
     # Arm 2: low-label finetune, pretrained init vs random init.
@@ -210,21 +224,40 @@ def main():
                          os.path.join(args.workdir, "ft_low.csv"))
     ft_random = run_finetune("", low_csv, val_csv,
                              os.path.join(args.workdir, "ft_random"),
-                             args.ft_epochs)
+                             args.ft_epochs, blr=args.ft_blr, seed=args.seed)
     print(f"finetune from RANDOM init ({args.ft_labels}/class): "
           f"{ft_random:.2f}%", flush=True)
     ft_pre = run_finetune(ckpt, low_csv, val_csv,
                           os.path.join(args.workdir, "ft_pretrained"),
-                          args.ft_epochs)
+                          args.ft_epochs, blr=args.ft_blr, seed=args.seed)
     print(f"finetune from PRETRAINED init ({args.ft_labels}/class): "
           f"{ft_pre:.2f}%", flush=True)
+
+    # Arm 3: full-label finetune (sanity anchor: proves the dataset is
+    # learnable by this recipe, and measures init quality without the
+    # label-starvation confound).
+    ftf_random = run_finetune("", train_csv, val_csv,
+                              os.path.join(args.workdir, "ftf_random"),
+                              args.ft_full_epochs, blr=args.ft_blr,
+                              seed=args.seed)
+    print(f"FULL-label finetune from RANDOM init: {ftf_random:.2f}%",
+          flush=True)
+    ftf_pre = run_finetune(ckpt, train_csv, val_csv,
+                           os.path.join(args.workdir, "ftf_pretrained"),
+                           args.ft_full_epochs, blr=args.ft_blr,
+                           seed=args.seed)
+    print(f"FULL-label finetune from PRETRAINED init: {ftf_pre:.2f}%",
+          flush=True)
 
     out = {
         "probe_random_top1": acc_random, "probe_pretrained_top1": acc_pre,
         "probe_gain_points": acc_pre - acc_random,
         "ft_random_top1": ft_random, "ft_pretrained_top1": ft_pre,
         "ft_gain_points": ft_pre - ft_random,
-        "ft_labels_per_class": args.ft_labels,
+        "ft_full_random_top1": ftf_random, "ft_full_pretrained_top1": ftf_pre,
+        "ft_full_gain_points": ftf_pre - ftf_random,
+        "ft_labels_per_class": args.ft_labels, "ft_blr": args.ft_blr,
+        "seed": args.seed,
     }
     print(json.dumps(out), flush=True)
     print("SHAPE-TRANSFER ABLATION RECORDED "

@@ -379,6 +379,10 @@ class MicroBatcher:
                 f"got {imgs.shape}")
         if imgs.dtype != np.uint8:
             raise ValueError(f"expected uint8 input, got {imgs.dtype}")
+        if len(imgs) == 0:
+            # Never let a zero-row request reach the device: it would still
+            # dispatch a fully-padded batch (pure padding waste).
+            raise ValueError("empty batch: need at least one row")
         out: list[Optional[np.ndarray]] = []
         done = threading.Event()
         chunk = self.max_batch or len(imgs)

@@ -96,6 +96,10 @@ class TestMicroBatcher:
             b.submit(np.zeros((2, 5, 5, 3), np.uint8))
         with pytest.raises(ValueError, match="uint8"):
             b.submit(np.zeros((2, 4, 4, 3), np.float32))
+        # Zero rows must not reach the device (it would dispatch a fully
+        # padded batch); rejected like any other bad input -> HTTP 400.
+        with pytest.raises(ValueError, match="empty batch"):
+            b.submit(np.zeros((0, 4, 4, 3), np.uint8))
         b.close()
 
     def test_fn_failure_propagates_to_caller(self):
