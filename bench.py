@@ -170,8 +170,40 @@ def run_ref_proxy(n_steps: int = 10, batch_per_chip: int | None = None) -> float
     return batch * n_steps / dt / n_chips
 
 
+def _headline(per_chip: float) -> dict:
+    """Headline record: throughput + vs_baseline + analytic MFU."""
+    result = {
+        "metric": "pretrain_imgs_per_sec_per_chip_vitb_msldcecd_128px",
+        "value": round(per_chip, 2),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(per_chip / BASELINE_REF_IMGS_PER_SEC_PER_CHIP, 3),
+        "baseline_estimated": BASELINE_REF_IMGS_PER_SEC_PER_CHIP,
+    }
+    try:
+        import jax
+
+        from cross_scale_mae_tpu.configs import get_mae_config
+        from cross_scale_mae_tpu.utils.flops import (
+            mae_train_flops_per_image, mfu,
+        )
+
+        cfg = get_mae_config("mae_vit_base_MsLdCeCd", input_size=128,
+                             patch_size=16, mask_ratio=0.75)
+        flops = mae_train_flops_per_image(cfg)
+        kind = jax.devices()[0].device_kind
+        util = mfu(per_chip, flops, kind)
+        result["train_flops_per_image"] = round(flops)
+        if util is not None:
+            result["mfu"] = round(util, 4)
+            result["device_kind"] = kind
+    except Exception:  # MFU is informational; never lose the record over it
+        pass
+    return result
+
+
 def main():
     import argparse
+    import sys
 
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=10)
@@ -184,18 +216,29 @@ def main():
     args = p.parse_args()
 
     per_chip = run_fused(args.steps, args.batch_per_chip)
-    proxy = None if args.skip_proxy else run_ref_proxy(args.steps)
-    result = {
-        "metric": "pretrain_imgs_per_sec_per_chip_vitb_msldcecd_128px",
-        "value": round(per_chip, 2),
-        "unit": "imgs/sec/chip",
-        "vs_baseline": round(per_chip / BASELINE_REF_IMGS_PER_SEC_PER_CHIP, 3),
-        "baseline_estimated": BASELINE_REF_IMGS_PER_SEC_PER_CHIP,
-    }
+    result = _headline(per_chip)
+    # Crash-safety (round-3 lesson, VERDICT r3 §weak-1): the round-3 driver
+    # record was LOST because a transient axon FailedPrecondition in the
+    # proxy leg crashed the process after the headline was already measured.
+    # Print+flush the headline record FIRST so it exists no matter what the
+    # proxy leg does; the proxy gets one retry on any exception, and a
+    # failure downgrades gracefully to the headline-only record.
+    print(json.dumps(result), flush=True)
+
+    proxy = None
+    if not args.skip_proxy:
+        for attempt in (1, 2):
+            try:
+                proxy = run_ref_proxy(args.steps)
+                break
+            except Exception as e:
+                print(f"proxy leg attempt {attempt} failed: {e!r}",
+                      file=sys.stderr, flush=True)
     if proxy is not None:
         result["baseline_measured_proxy"] = round(proxy, 2)
         result["vs_ref_proxy"] = round(per_chip / proxy, 3)
-    print(json.dumps(result))
+        # The last stdout line is always the fullest valid record.
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

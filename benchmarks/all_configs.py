@@ -173,6 +173,12 @@ def main():
         lambda: bench_pretrain("msldcecd_perceptual_vitb16_128px",
                                "mae_vit_base_MsLdCeCd", 128, 16, 256,
                                args.steps, use_perceptual=True),
+        lambda: bench_pretrain("msldcecd_vitl16_128px",
+                               "mae_vit_large_MsLdCeCd", 128, 16, 256,
+                               args.steps),
+        lambda: bench_pretrain("msldcecd_vith16_128px",
+                               "mae_vit_huge_MsLdCeCd", 128, 16, 128,
+                               args.steps),
         lambda: bench_classify("linprobe_vitb16_128px_lars",
                                "vit_base_patch16", 128, 16, 1024,
                                args.steps, linprobe=True),

@@ -66,6 +66,14 @@ def main():
         measured["msld_vitb16_128px"] = bench_pretrain(
             "msld_vitb16_128px", "mae_vit_base_MsLd", 128, 16, 256, 10
         )["imgs_per_sec_per_chip"]
+        measured["msldcecd_vitl16_128px"] = bench_pretrain(
+            "msldcecd_vitl16_128px", "mae_vit_large_MsLdCeCd", 128, 16, 256,
+            10
+        )["imgs_per_sec_per_chip"]
+        measured["msldcecd_vith16_128px"] = bench_pretrain(
+            "msldcecd_vith16_128px", "mae_vit_huge_MsLdCeCd", 128, 16, 128,
+            10
+        )["imgs_per_sec_per_chip"]
         measured["linprobe_vitb16_128px_lars"] = bench_classify(
             "linprobe_vitb16_128px_lars", "vit_base_patch16", 128, 16, 1024,
             10, linprobe=True
