@@ -16,6 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from cross_scale_mae_tpu.ops.numerics import at_least_f32
+
 
 def ntxent_loss(
     zi: jnp.ndarray,
@@ -25,8 +27,8 @@ def ntxent_loss(
     eps: float = 1e-8,
 ) -> jnp.ndarray:
     """zi, zj: (B, D) projections of the two views. Returns scalar loss."""
-    zi = zi.astype(jnp.float32)
-    zj = zj.astype(jnp.float32)
+    zi = at_least_f32(zi)
+    zj = at_least_f32(zj)
     b = zi.shape[0]
     # Reference normalizes inputs first in both modes (contrast_loss.py:81).
     zi = zi / jnp.maximum(jnp.linalg.norm(zi, axis=1, keepdims=True), 1e-12)

@@ -19,6 +19,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
+from cross_scale_mae_tpu.ops.numerics import at_least_f32
 from cross_scale_mae_tpu.ops.patchify import unpatchify
 from cross_scale_mae_tpu.ops.ssim import ms_ssim, ssim
 
@@ -31,7 +32,7 @@ def _masked_mean(per_patch: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.nda
 
 
 def _f32(*xs):
-    return tuple(x.astype(jnp.float32) for x in xs)
+    return tuple(at_least_f32(x) for x in xs)
 
 
 def scale_01(x: jnp.ndarray) -> jnp.ndarray:
@@ -46,7 +47,7 @@ def process_target(
     (MAE_ViT_Shared.py:97-111). imgs: NHWC."""
     from cross_scale_mae_tpu.ops.patchify import patchify
 
-    target = patchify(imgs.astype(jnp.float32), patch_size)
+    target = patchify(at_least_f32(imgs), patch_size)
     if norm_pix_loss:
         mean = jnp.mean(target, axis=-1, keepdims=True)
         var = jnp.var(target, axis=-1, keepdims=True, ddof=1)  # torch unbiased var
@@ -97,7 +98,7 @@ def _ssim_family(
     pimg = unpatchify(pred, patch_size, channels)
     if mask is not None:
         mimg = unpatchify(
-            jnp.repeat(mask[:, :, None].astype(jnp.float32),
+            jnp.repeat(at_least_f32(mask[:, :, None]),
                        patch_size * patch_size * channels, axis=-1),
             patch_size, channels,
         )

@@ -24,6 +24,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from cross_scale_mae_tpu.ops.numerics import accum_dtype, at_least_f32
+
 Params = dict[str, Any]
 
 
@@ -99,13 +101,14 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
-    """LN with fp32 statistics regardless of activation dtype."""
+    """LN with (at least) fp32 statistics regardless of activation dtype."""
     dtype = x.dtype
-    x32 = x.astype(jnp.float32)
+    ct = accum_dtype(dtype)
+    x32 = x.astype(ct)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.var(x32, axis=-1, keepdims=True)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    y = y * p["scale"].astype(ct) + p["bias"].astype(ct)
     return y.astype(dtype)
 
 
@@ -190,7 +193,8 @@ def attention(p: Params, x: jnp.ndarray, num_heads: int, impl: str = "xla") -> j
     else:
         scale = head_dim ** -0.5
         logits = jnp.einsum(
-            "nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32
+            "nqhd,nkhd->nhqk", q, k,
+            preferred_element_type=accum_dtype(q.dtype),
         ) * scale
         probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         out = jnp.einsum("nhqk,nkhd->nqhd", probs, v)
@@ -289,7 +293,8 @@ def _attention_flat(p: Params, xf: jnp.ndarray, n: int, l: int, num_heads: int,
     else:
         scale = head_dim ** -0.5
         logits = jnp.einsum(
-            "nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32
+            "nqhd,nkhd->nhqk", q, k,
+            preferred_element_type=accum_dtype(q.dtype),
         ) * scale
         probs = jax.nn.softmax(logits, axis=-1).astype(xf.dtype)
         out = jnp.einsum("nhqk,nkhd->nqhd", probs, v)
@@ -376,7 +381,7 @@ def predictor_apply(
     BatchNorm behaves the same way). Returns (out, new_state).
     """
     h = linear(p["fc1"], x)  # (N, T, hidden)
-    h32 = h.astype(jnp.float32)
+    h32 = at_least_f32(h)
     if train:
         mean = jnp.mean(h32, axis=(0, 2))  # (T,)
         var = jnp.var(h32, axis=(0, 2))

@@ -55,6 +55,7 @@ from cross_scale_mae_tpu.losses.recon import process_target, recon_loss
 from cross_scale_mae_tpu.models import layers
 from cross_scale_mae_tpu.ops.image import crop_resize, sample_crop_boxes
 from cross_scale_mae_tpu.ops.masking import random_masking, restore_tokens
+from cross_scale_mae_tpu.ops.numerics import at_least_f32
 from cross_scale_mae_tpu.ops.patchify import patchify
 from cross_scale_mae_tpu.ops.pos_embed import get_2d_sincos_pos_embed
 
@@ -147,7 +148,7 @@ def mae_forward_encoder(
     x = x + enc_pos[None, 1:, :].astype(dtype)
     lk = cfg.len_keep if len_keep is None else len_keep
     x, mask, ids_restore = random_masking(x, lk, rng=rng, noise=noise)
-    cls = (params["cls_token"].astype(jnp.float32) + enc_pos[None, :1, :]).astype(dtype)
+    cls = (at_least_f32(params["cls_token"]) + enc_pos[None, :1, :]).astype(dtype)
     x = jnp.concatenate([jnp.broadcast_to(cls, (x.shape[0], 1, x.shape[2])), x], axis=1)
     if cfg.flat_blocks:
         x = layers.run_blocks_flat(
@@ -197,7 +198,7 @@ def mae_forward_decoder(
 def _recon_loss(cfg: MAEConfig, imgs, pred, mask):
     target = process_target(imgs, cfg.patch_size, cfg.input_channels, cfg.norm_pix_loss)
     return recon_loss(
-        cfg.loss, target, pred.astype(jnp.float32), mask,
+        cfg.loss, target, at_least_f32(pred), mask,
         patch_size=cfg.patch_size, channels=cfg.input_channels,
     )
 
@@ -237,7 +238,7 @@ def mae_encode(
     x = patchify(imgs, cfg.patch_size).astype(dtype)
     x = layers.linear(params["patch_embed"], x)
     x = x + enc_pos[None, 1:, :].astype(dtype)
-    cls = (params["cls_token"].astype(jnp.float32) + enc_pos[None, :1, :]).astype(dtype)
+    cls = (at_least_f32(params["cls_token"]) + enc_pos[None, :1, :]).astype(dtype)
     x = jnp.concatenate([jnp.broadcast_to(cls, (x.shape[0], 1, x.shape[2])), x], axis=1)
     if cfg.flat_blocks:
         x = layers.run_blocks_flat(
@@ -323,7 +324,7 @@ def mae_loss_fn(
     if cfg.use_le:
         # Latent distance between full encoder embeddings (MAE_ViT_MsLdLe.py:44).
         loss_e = recon_loss(
-            cfg.loss_name("e"), enc_o.astype(jnp.float32), enc_c.astype(jnp.float32)
+            cfg.loss_name("e"), at_least_f32(enc_o), at_least_f32(enc_c)
         )
         losses["loss_e"] = loss_e
         total = total + loss_e
@@ -335,8 +336,8 @@ def mae_loss_fn(
             params["predictor_ce"], state["predictor_ce"], enc_c[:, 1:, :], train
         )
         loss_ce_p = recon_loss(
-            cfg.loss_name("ce"), enc_o[:, 1:, :].astype(jnp.float32),
-            pred_ce.astype(jnp.float32),
+            cfg.loss_name("ce"), at_least_f32(enc_o[:, 1:, :]),
+            at_least_f32(pred_ce),
         )
         losses["loss_ce_pred"] = loss_ce_p
         total = total + loss_ce_p
@@ -347,8 +348,8 @@ def mae_loss_fn(
             params["predictor_cd"], state["predictor_cd"], dec_c[:, 1:, :], train
         )
         loss_cd = recon_loss(
-            cfg.loss_name("cd"), dec_o[:, 1:, :].astype(jnp.float32),
-            pred_cd.astype(jnp.float32),
+            cfg.loss_name("cd"), at_least_f32(dec_o[:, 1:, :]),
+            at_least_f32(pred_cd),
         )
         losses["loss_cd"] = loss_cd
         total = total + loss_cd
@@ -359,8 +360,8 @@ def mae_loss_fn(
         # across chips), i.e. more negatives than the reference's per-GPU
         # NT-Xent under DDP — a deliberate strengthening; match-local would
         # need a shard_map escape hatch.
-        f1 = jnp.mean(enc_o[:, 1:, :].astype(jnp.float32), axis=1)
-        f2 = jnp.mean(enc_c[:, 1:, :].astype(jnp.float32), axis=1)
+        f1 = jnp.mean(at_least_f32(enc_o[:, 1:, :]), axis=1)
+        f2 = jnp.mean(at_least_f32(enc_c[:, 1:, :]), axis=1)
         loss_ce = ntxent_loss(f1, f2, tau=cfg.ntxent_tau, cos_sim=cfg.ntxent_cos_sim)
         losses["loss_ce"] = loss_ce
         total = total + loss_ce
@@ -370,9 +371,9 @@ def mae_loss_fn(
         from cross_scale_mae_tpu.ops.patchify import unpatchify
 
         pred_img = unpatchify(
-            pred[:n].astype(jnp.float32), cfg.patch_size, cfg.input_channels
+            at_least_f32(pred[:n]), cfg.patch_size, cfg.input_channels
         )
-        loss_p = perceptual_loss(state["vgg"], pred_img, imgs.astype(jnp.float32),
+        loss_p = perceptual_loss(state["vgg"], pred_img, at_least_f32(imgs),
                                  resize_to=None)
         losses["loss_perceptual"] = loss_p
         total = total + cfg.perceptual_weight * loss_p

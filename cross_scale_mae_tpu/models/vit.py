@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from cross_scale_mae_tpu.configs import ViTClassifierConfig
 from cross_scale_mae_tpu.models import layers
+from cross_scale_mae_tpu.ops.numerics import at_least_f32
 from cross_scale_mae_tpu.ops.patchify import patchify
 from cross_scale_mae_tpu.ops.pos_embed import get_2d_sincos_pos_embed
 
@@ -159,7 +160,7 @@ def vit_apply(
         feat = jax.lax.stop_gradient(feat)
     new_state = dict(state)
     if cfg.use_bn_head:
-        f32 = feat.astype(jnp.float32)
+        f32 = at_least_f32(feat)
         if train:
             mean = jnp.mean(f32, axis=0)
             var = jnp.var(f32, axis=0)
@@ -175,4 +176,4 @@ def vit_apply(
         f32 = (f32 - mean) * jax.lax.rsqrt(var + 1e-6)
         feat = f32.astype(feat.dtype)
     logits = layers.linear(params["head"], feat)
-    return logits.astype(jnp.float32), new_state
+    return at_least_f32(logits), new_state

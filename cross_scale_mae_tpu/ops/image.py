@@ -134,14 +134,17 @@ def crop_resize(
         lambda b: _resample_matrix(w, out_size, b[1], b[3], method)
     )(boxes)  # (N, out, W)
     dtype = imgs.dtype
+    # Accumulate at fp32 — or wider when the input already is (fp64
+    # equivalence runs must not round-trip through f32 here).
+    acc = jnp.promote_types(dtype, jnp.float32)
     precision = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
     tmp = jnp.einsum(
-        "noh,nhwc->nowc", row_mat, imgs.astype(jnp.float32),
-        preferred_element_type=jnp.float32, precision=precision,
+        "noh,nhwc->nowc", row_mat, imgs.astype(acc),
+        preferred_element_type=acc, precision=precision,
     )
     out = jnp.einsum(
         "npw,nowc->nopc", col_mat, tmp,
-        preferred_element_type=jnp.float32, precision=precision,
+        preferred_element_type=acc, precision=precision,
     )
     return out.astype(dtype)
 

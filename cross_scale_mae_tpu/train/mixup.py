@@ -15,6 +15,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from cross_scale_mae_tpu.ops.numerics import at_least_f32
+
 
 def smooth_one_hot(
     labels: jnp.ndarray, num_classes: int, smoothing: float
@@ -192,5 +194,5 @@ def mixup_cutmix(
 
 def soft_cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     """timm SoftTargetCrossEntropy: mean over batch of -sum(t * log_softmax)."""
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logp = jax.nn.log_softmax(at_least_f32(logits), axis=-1)
     return -jnp.mean(jnp.sum(targets * logp, axis=-1))
