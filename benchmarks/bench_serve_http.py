@@ -57,6 +57,20 @@ def main() -> None:
     ap.add_argument("--quantize", default=None, choices=["int8"],
                     help="weight-only int8 (quant.py): measures the "
                          "low-batch HBM-bandwidth claim")
+    ap.add_argument("--burst", action="store_true",
+                    help="mixed-size burst scenario: every client fires "
+                         "randomly-sized requests back-to-back; reports "
+                         "p50/p99 per size class plus 429/504 counts "
+                         "(exercises --max_queue_rows/--deadline_ms "
+                         "backpressure under overload)")
+    ap.add_argument("--burst_sizes", type=int, nargs="+",
+                    default=[1, 4, 16, 64],
+                    help="row-count classes the burst mixes")
+    ap.add_argument("--burst_concurrency", type=int, default=24)
+    ap.add_argument("--max_queue_rows", type=int, default=None,
+                    help="server backpressure bound (default 32x batch)")
+    ap.add_argument("--deadline_ms", type=float, default=30000.0,
+                    help="server per-request deadline")
     args = ap.parse_args()
 
     import jax
@@ -118,7 +132,10 @@ def main() -> None:
     )
     serve_argv = ["--ckpt", "_injected_", "--port", "0", "--batch_size",
                   str(args.batch_size), "--max_delay_ms",
-                  str(args.max_delay_ms)]
+                  str(args.max_delay_ms), "--deadline_ms",
+                  str(args.deadline_ms)]
+    if args.max_queue_rows is not None:
+        serve_argv += ["--max_queue_rows", str(args.max_queue_rows)]
     if args.batch_buckets:
         serve_argv += ["--batch_buckets"] + [str(b) for b in args.batch_buckets]
     sargs = serve.get_args_parser().parse_args(serve_argv)
@@ -139,6 +156,13 @@ def main() -> None:
             with urllib.request.urlopen(req) as r:
                 r.read()
             lat.append((time.perf_counter() - t0) * 1e3)
+
+    if args.burst:
+        _burst_scenario(base, args, canvas)
+        server.shutdown()
+        batcher.close()
+        server.server_close()
+        return
 
     results = []
     for conc in args.concurrency:
@@ -178,6 +202,85 @@ def main() -> None:
     print(json.dumps({
         "metric": f"http_serving_imgs_per_sec_{tag}_{args.input_size}px",
         "value": best, "unit": "imgs/sec/chip", "rows": results}))
+
+
+def _burst_scenario(base: str, args, canvas: int) -> None:
+    """Mixed-size burst: ``burst_concurrency`` clients each fire
+    ``requests`` randomly-sized posts with no pacing. Reports per-size-class
+    and overall p50/p99 (successful requests only) plus the 429/504 counts
+    — the tail-latency + backpressure picture a deployer needs
+    (VERDICT r3 next-7)."""
+    rng = np.random.default_rng(7)
+    payloads = {}
+    for n in args.burst_sizes:
+        buf = io.BytesIO()
+        np.save(buf, rng.integers(0, 256, (n, canvas, canvas, 3), np.uint8))
+        payloads[n] = buf.getvalue()
+
+    s0 = json.load(urllib.request.urlopen(base + "/stats"))
+    records: list[list[tuple[int, int, float]]] = [
+        [] for _ in range(args.burst_concurrency)
+    ]
+
+    def client(i: int):
+        crng = np.random.default_rng(100 + i)
+        for _ in range(args.requests):
+            n = int(crng.choice(args.burst_sizes))
+            t0 = time.perf_counter()
+            req = urllib.request.Request(
+                base + "/predict", data=payloads[n], method="POST")
+            try:
+                with urllib.request.urlopen(req) as r:
+                    r.read()
+                    code = r.status
+            except urllib.error.HTTPError as e:
+                e.read()
+                code = e.code
+            records[i].append((n, code, (time.perf_counter() - t0) * 1e3))
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(args.burst_concurrency)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    s1 = json.load(urllib.request.urlopen(base + "/stats"))
+
+    flat = [r for sub in records for r in sub]
+    ok = [r for r in flat if r[1] == 200]
+    codes: dict[int, int] = {}
+    for _, code, _ in flat:
+        codes[code] = codes.get(code, 0) + 1
+
+    def pcts(lats):
+        lats = sorted(lats)
+        if not lats:
+            return None, None
+        return (round(lats[len(lats) // 2], 1),
+                round(lats[min(len(lats) - 1, int(0.99 * len(lats)))], 1))
+
+    per_size = {}
+    for n in args.burst_sizes:
+        p50, p99 = pcts([lat for rows, code, lat in ok if rows == n])
+        per_size[str(n)] = {"p50_ms": p50, "p99_ms": p99,
+                            "n_ok": sum(1 for rows, code, _ in ok
+                                        if rows == n)}
+    p50_all, p99_all = pcts([lat for _, _, lat in ok])
+    print(json.dumps({
+        "metric": "http_burst_mixed_p99_ms",
+        "value": p99_all,
+        "unit": "ms",
+        "p50_ms": p50_all,
+        "imgs_per_sec": round(sum(rows for rows, _, _ in ok) / wall, 1),
+        "status_counts": codes,
+        "per_size": per_size,
+        "server_stats": {k: s1[k] - s0.get(k, 0) if isinstance(s1[k], int)
+                         else s1[k]
+                         for k in ("dispatches", "rejected_full",
+                                   "deadline_expired", "dispatch_ms_p99")},
+    }))
 
 
 if __name__ == "__main__":

@@ -71,6 +71,14 @@ def get_args_parser():
                    help="skip the compile-before-accept warm-up call")
     p.add_argument("--max_request_mb", default=256, type=int,
                    help="reject request bodies larger than this (413)")
+    p.add_argument("--max_queue_rows", default=None, type=int,
+                   help="backpressure: reject new requests (429) once this "
+                        "many rows are queued for the device (default "
+                        "32x the compiled batch; 0 = unbounded)")
+    p.add_argument("--deadline_ms", default=30000.0, type=float,
+                   help="per-request end-to-end budget: requests not "
+                        "answered within this window get 504 and are "
+                        "purged from the queue (0 = no deadline)")
     p.add_argument("--quantize", default=None, choices=["int8"],
                    help="weight-only int8 for in-process --ckpt serving "
                         "(quant.py): 4x less weight HBM traffic per dispatch")
@@ -91,7 +99,9 @@ def build_app(args, model=None):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     from cross_scale_mae_tpu.serving import (
+        DeadlineExceededError,
         MicroBatcher,
+        QueueFullError,
         build_serving_model,
         load_artifact,
     )
@@ -153,9 +163,16 @@ def build_app(args, model=None):
             model.fn(zeros)
         state["warm"] = True
 
+    max_queue_rows = getattr(args, "max_queue_rows", None)
+    if max_queue_rows is None and model.batch_size is not None:
+        max_queue_rows = 32 * model.batch_size
+    if max_queue_rows == 0:
+        max_queue_rows = None
+    deadline_ms = getattr(args, "deadline_ms", 0.0) or None
     batcher = MicroBatcher(model.fn, model.batch_size, model.canvas,
                            model.channels, max_delay_ms=args.max_delay_ms,
-                           buckets=buckets)
+                           buckets=buckets, max_queue_rows=max_queue_rows,
+                           deadline_ms=deadline_ms)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):  # quiet per-request stderr spam
@@ -181,6 +198,8 @@ def build_app(args, model=None):
                     "input": [model.batch_size, model.canvas, model.canvas,
                               model.channels],
                     "max_delay_ms": args.max_delay_ms,
+                    "max_queue_rows": batcher.max_queue_rows,
+                    "deadline_ms": deadline_ms,
                     **model.meta,
                 })
             elif self.path == "/stats":
@@ -225,6 +244,17 @@ def build_app(args, model=None):
                 # malformed npy/image bodies (np.load raises EOFError on an
                 # empty buffer, PIL raises UnidentifiedImageError <: OSError)
                 self._json(400, {"error": str(e)})
+            except QueueFullError as e:
+                # backpressure: the device queue is at --max_queue_rows
+                self.send_response(429)
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Retry-After", "1")
+                self.end_headers()
+                self.wfile.write(body)
+            except DeadlineExceededError as e:
+                self._json(504, {"error": str(e)})
             except RuntimeError as e:
                 self._json(503, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — last resort: answer 500

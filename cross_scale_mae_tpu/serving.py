@@ -302,6 +302,14 @@ def load_artifact(path: str) -> ServingModel:
                         meta["kind"], meta)
 
 
+class QueueFullError(RuntimeError):
+    """Backpressure: the batcher queue is at ``max_queue_rows`` (HTTP 429)."""
+
+
+class DeadlineExceededError(RuntimeError):
+    """The request missed its end-to-end ``deadline_ms`` (HTTP 504)."""
+
+
 class MicroBatcher:
     """Coalesce concurrent requests onto one static-batch compiled call.
 
@@ -322,9 +330,21 @@ class MicroBatcher:
 
     def __init__(self, fn, max_batch: Optional[int], canvas: int,
                  channels: int, max_delay_ms: float = 5.0,
-                 buckets: Optional[list[int]] = None):
+                 buckets: Optional[list[int]] = None,
+                 max_queue_rows: Optional[int] = None,
+                 deadline_ms: Optional[float] = None):
         self._fn = fn
         self.max_batch = max_batch
+        # Backpressure (VERDICT r3 next-7): without a queue bound, a stalled
+        # device grows the queue without limit; without a deadline, every
+        # waiting handler thread blocks forever. ``max_queue_rows`` rejects
+        # at submit time (QueueFullError -> HTTP 429, bounding memory);
+        # ``deadline_ms`` is a per-request END-TO-END budget — expired
+        # requests are purged from the queue before wasting device time,
+        # and a submit whose rows never come back in time raises
+        # DeadlineExceededError (-> HTTP 504) instead of hanging.
+        self.max_queue_rows = max_queue_rows
+        self._deadline = None if deadline_ms is None else deadline_ms / 1e3
         if buckets is not None:
             buckets = sorted(set(int(b) for b in buckets))
             if not buckets or any(b < 1 for b in buckets):
@@ -349,6 +369,8 @@ class MicroBatcher:
         self._n_dispatches = 0
         self._rows_dispatched = 0
         self._rows_padded = 0  # sum of dispatched (bucket) batch sizes
+        self._rejected_full = 0
+        self._deadline_expired = 0
         self._dispatch_ms: list[float] = []  # ring, newest last
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -370,6 +392,8 @@ class MicroBatcher:
                 "dispatch_ms_p50": pct(0.50),
                 "dispatch_ms_p99": pct(0.99),
                 "queue_depth": len(self._queue),
+                "rejected_full": self._rejected_full,
+                "deadline_expired": self._deadline_expired,
             }
 
     def submit(self, imgs: np.ndarray) -> np.ndarray:
@@ -387,12 +411,26 @@ class MicroBatcher:
         done = threading.Event()
         chunk = self.max_batch or len(imgs)
         parts = [imgs[i:i + chunk] for i in range(0, len(imgs), chunk)] or [imgs]
-        with self._stats_lock:
-            self._n_requests += 1
-            self._n_rows += len(imgs)
+        deadline = (
+            None if self._deadline is None
+            else time.monotonic() + self._deadline
+        )
+        entries: list[dict[str, Any]] = []
         with self._cv:
             if self._closed:
                 raise RuntimeError("batcher is closed")
+            if self.max_queue_rows is not None:
+                queued = sum(len(e["rows"]) for e in self._queue)
+                if queued + len(imgs) > self.max_queue_rows:
+                    with self._stats_lock:
+                        self._rejected_full += 1
+                    raise QueueFullError(
+                        f"queue full: {queued} rows queued + {len(imgs)} "
+                        f"requested > max_queue_rows={self.max_queue_rows}; "
+                        f"retry later")
+            with self._stats_lock:
+                self._n_requests += 1
+                self._n_rows += len(imgs)
             pending = len(parts)
             state = {"left": pending}
             for part in parts:
@@ -406,10 +444,26 @@ class MicroBatcher:
                             done.set()
                     return cb
 
-                self._queue.append(
-                    {"rows": part, "cb": make_cb(len(out) - 1)})
+                entry = {"rows": part, "cb": make_cb(len(out) - 1),
+                         "deadline": deadline}
+                entries.append(entry)
+                self._queue.append(entry)
             self._cv.notify()
-        done.wait()
+        if deadline is None:
+            done.wait()
+        elif not done.wait(timeout=max(deadline - time.monotonic(), 0.0)):
+            # End-to-end budget blown. Pull our still-queued entries so the
+            # worker never wastes a dispatch on them; anything already in
+            # flight will complete into `out`, which nobody reads.
+            with self._cv:
+                for entry in entries:
+                    if entry in self._queue:
+                        self._queue.remove(entry)
+            with self._stats_lock:
+                self._deadline_expired += 1
+            raise DeadlineExceededError(
+                f"request exceeded deadline_ms="
+                f"{self._deadline * 1e3:.0f} before completing")
         for part in out:
             if isinstance(part, Exception):
                 raise part
@@ -428,6 +482,25 @@ class MicroBatcher:
                     self._cv.wait()
                 if self._closed and not self._queue:
                     return
+                # Purge already-expired requests before spending device time
+                # on them; their waiters get the deadline error via cb.
+                if self._deadline is not None:
+                    now = time.monotonic()
+                    expired = [
+                        e for e in self._queue
+                        if e["deadline"] is not None and e["deadline"] <= now
+                    ]
+                    for e in expired:
+                        self._queue.remove(e)
+                    if expired:
+                        with self._stats_lock:
+                            self._deadline_expired += len(expired)
+                        for e in expired:
+                            e["cb"](DeadlineExceededError(
+                                "request expired in queue (deadline_ms="
+                                f"{self._deadline * 1e3:.0f})"))
+                    if not self._queue:
+                        continue
                 # Brief coalescing window: let concurrent handlers enqueue.
                 if self._delay > 0 and self.max_batch:
                     deadline = time.monotonic() + self._delay

@@ -113,6 +113,99 @@ class TestMicroBatcher:
             b.submit(np.zeros((2, 4, 4, 3), np.uint8))
         b.close()
 
+    def test_overload_bounded_queue_rejects_429(self):
+        """A stalled device must NOT grow the queue without limit: once
+        max_queue_rows is reached, submit fails fast with QueueFullError
+        and the queued-row count stays bounded (VERDICT r3 next-7)."""
+        from cross_scale_mae_tpu.serving import MicroBatcher, QueueFullError
+
+        release = threading.Event()
+
+        def stalled_fn(rows):
+            release.wait(timeout=30)
+            return rows[..., 0, 0, 0].astype(np.float32)
+
+        b = MicroBatcher(stalled_fn, 4, 4, 3, max_delay_ms=0.0,
+                         max_queue_rows=8)
+        # First request occupies the device (worker pops it off the queue
+        # and blocks inside fn); give it a moment to get there.
+        t0 = threading.Thread(
+            target=lambda: b.submit(np.zeros((4, 4, 4, 3), np.uint8)))
+        t0.start()
+        deadline = __import__("time").monotonic() + 5
+        while b.stats()["queue_depth"] > 0:
+            assert __import__("time").monotonic() < deadline
+        # Fill the queue to the bound with background waiters.
+        waiters = []
+        for _ in range(2):
+            t = threading.Thread(
+                target=lambda: b.submit(np.zeros((4, 4, 4, 3), np.uint8)))
+            t.start()
+            waiters.append(t)
+        deadline = __import__("time").monotonic() + 5
+        while b.stats()["queue_depth"] < 2:
+            assert __import__("time").monotonic() < deadline
+        # Queue is at 8 rows: the next request must be rejected, not queued.
+        with pytest.raises(QueueFullError):
+            b.submit(np.zeros((1, 4, 4, 3), np.uint8))
+        stats = b.stats()
+        assert stats["rejected_full"] == 1
+        assert stats["queue_depth"] * 4 <= 8  # bounded memory
+        release.set()
+        t0.join(timeout=10)
+        for t in waiters:
+            t.join(timeout=10)
+        b.close()
+
+    def test_deadline_expired_raises_504_error(self):
+        """A request that cannot be answered inside deadline_ms raises
+        DeadlineExceededError instead of blocking the handler forever."""
+        import time as _time
+
+        from cross_scale_mae_tpu.serving import (
+            DeadlineExceededError,
+            MicroBatcher,
+        )
+
+        release = threading.Event()
+
+        def slow_fn(rows):
+            release.wait(timeout=30)
+            return rows[..., 0, 0, 0].astype(np.float32)
+
+        b = MicroBatcher(slow_fn, 4, 4, 3, max_delay_ms=0.0,
+                         deadline_ms=150.0)
+        # Occupy the device so the second request waits in the queue.
+        t0 = threading.Thread(
+            target=lambda: b.submit(np.zeros((4, 4, 4, 3), np.uint8)))
+        t0.start()
+        _time.sleep(0.05)
+        start = _time.monotonic()
+        with pytest.raises(DeadlineExceededError):
+            b.submit(np.zeros((2, 4, 4, 3), np.uint8))
+        elapsed = _time.monotonic() - start
+        assert elapsed < 5.0, "deadline did not bound the wait"
+        assert b.stats()["deadline_expired"] >= 1
+        # The expired entry was purged: nothing left in the queue.
+        release.set()
+        t0.join(timeout=10)
+        assert b.stats()["queue_depth"] == 0
+        b.close()
+
+    def test_deadline_not_hit_on_fast_path(self):
+        from cross_scale_mae_tpu.serving import MicroBatcher
+
+        b = MicroBatcher(
+            lambda rows: rows[..., 0, 0, 0].astype(np.float32),
+            4, 4, 3, max_delay_ms=0.0, deadline_ms=10_000.0,
+            max_queue_rows=64,
+        )
+        out = b.submit(np.zeros((3, 4, 4, 3), np.uint8))
+        assert out.shape == (3,)
+        stats = b.stats()
+        assert stats["deadline_expired"] == 0 and stats["rejected_full"] == 0
+        b.close()
+
 
 # ------------------------------------------------------------ HTTP server
 
@@ -160,6 +253,81 @@ def _post(url, body, headers=None):
             return r.status, r.read(), r.headers.get("Content-Type")
     except urllib.error.HTTPError as e:
         return e.code, e.read(), e.headers.get("Content-Type")
+
+
+def test_http_backpressure_429_and_deadline_504():
+    """End-to-end overload behavior through the real HTTP stack: a stalled
+    model makes the server answer 429 (queue full, Retry-After set) and 504
+    (deadline) instead of hanging handlers / growing memory."""
+    import time as _time
+
+    from cross_scale_mae_tpu.cli import serve
+    from cross_scale_mae_tpu.serving import ServingModel
+
+    release = threading.Event()
+
+    def stalled_fn(rows):
+        release.wait(timeout=30)
+        return rows[..., 0, 0, 0].astype(np.float32)
+
+    model = ServingModel(stalled_fn, 4, 3, 4, "mae", {})
+    args = serve.get_args_parser().parse_args([
+        "--ckpt", "unused", "--batch_size", "4", "--port", "0",
+        "--max_delay_ms", "0", "--no_warmup",
+        "--max_queue_rows", "4", "--deadline_ms", "400",
+    ])
+    server, batcher = serve.build_app(args, model=model)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        def npy(n):
+            buf = io.BytesIO()
+            np.save(buf, np.zeros((n, 4, 4, 3), np.uint8))
+            return buf.getvalue()
+
+        # Request 1 occupies the device; request 2 fills the queue. Both
+        # will end in 504 (the model never answers inside the deadline).
+        results = {}
+
+        def post_bg(key, n):
+            results[key] = _post(base + "/predict", npy(n))
+
+        t1 = threading.Thread(target=post_bg, args=("first", 4))
+        t1.start()
+        deadline = _time.monotonic() + 5
+        while batcher.stats()["dispatches"] == 0 and batcher.stats()[
+                "queue_depth"] == 0 and _time.monotonic() < deadline:
+            _time.sleep(0.01)
+        t2 = threading.Thread(target=post_bg, args=("second", 4))
+        t2.start()
+        deadline = _time.monotonic() + 5
+        while batcher.stats()["queue_depth"] < 1 \
+                and _time.monotonic() < deadline:
+            _time.sleep(0.01)
+
+        # Queue is at max_queue_rows: an immediate third request gets 429.
+        code, body, _ = _post(base + "/predict", npy(1))
+        assert code == 429, (code, body)
+        assert b"queue full" in body
+
+        # The queued request times out with 504 inside its 400 ms budget.
+        t2.join(timeout=10)
+        assert results["second"][0] == 504, results["second"]
+        release.set()
+        t1.join(timeout=10)
+        # The in-flight request either completed (200) or also hit the
+        # deadline first (504) depending on scheduling; both are bounded.
+        assert results["first"][0] in (200, 504)
+        stats = json.loads(
+            urllib.request.urlopen(base + "/stats").read())
+        assert stats["rejected_full"] >= 1
+        assert stats["deadline_expired"] >= 1
+    finally:
+        release.set()
+        server.shutdown()
+        batcher.close()
+        server.server_close()
 
 
 @pytest.mark.slow
