@@ -123,7 +123,7 @@ def make_dataset(root: str, n_per_class: int = 400, size: int = SIZE,
 
 def run_finetune(ckpt: str, train_csv: str, val_csv: str, out_dir: str,
                  epochs: int, batch_size: int = 32,
-                 blr: float = 1e-3, seed: int = 0) -> float:
+                 blr: float = 5e-3, seed: int = 0) -> float:
     """Reference finetune recipe (layer-decay AdamW) on the tiny encoder."""
     from cross_scale_mae_tpu.cli import finetune
 
@@ -187,8 +187,18 @@ def main():
 
     # Cross-Scale MAE pretrain on the unlabeled train split.
     if args.reuse and os.path.exists(ckpt_marker):
-        ckpt = open(ckpt_marker).read().strip()
-        print(f"reusing pretrain checkpoint: {ckpt}", flush=True)
+        lines = open(ckpt_marker).read().splitlines()
+        ckpt = lines[0].strip()
+        ckpt_seed = int(lines[1]) if len(lines) > 1 else None
+        if ckpt_seed != args.seed:
+            raise SystemExit(
+                f"--reuse with --seed {args.seed} but the reused pretrain "
+                f"checkpoint was built with seed {ckpt_seed}: the probe/"
+                f"finetune data would not match the pretrain data and the "
+                f"ablation would be confounded. Re-run without --reuse or "
+                f"pass --seed {ckpt_seed}.")
+        print(f"reusing pretrain checkpoint: {ckpt} (seed {ckpt_seed})",
+              flush=True)
     else:
         from cross_scale_mae_tpu.cli import pretrain
 
@@ -204,7 +214,7 @@ def main():
         ]))
         ckpt = os.path.join(res["output_dir"], "checkpoints")
         with open(ckpt_marker, "w") as f:
-            f.write(ckpt)
+            f.write(f"{ckpt}\n{args.seed}")
         print(f"pretrain: {res['steps']} steps, final {res['last_metrics']}",
               flush=True)
 

@@ -349,6 +349,32 @@ class TestAttentionImpls:
             )
             assert np.isfinite(gsum) and gsum > 0
 
+    def test_pallas_v2_qkv_matches_xla_fwd_and_vjp(self):
+        # v2: transpose-free qkv-layout kernel (EXPERIMENTAL — crashes this
+        # toolchain's Mosaic compiler on TPU, kept for a future toolchain;
+        # see benchmarks/probe_mosaic.py findings table). Interpreter-mode
+        # numerics must stay correct so the kernel is ready when the
+        # toolchain fixes land.
+        from cross_scale_mae_tpu.ops.attention import pallas_mha_qkv, xla_mha
+
+        rng = np.random.default_rng(5)
+        n, l, h, hd = 2, 16, 4, 8
+        qkv = jnp.asarray(
+            rng.normal(size=(n, l, 3 * h, hd)).astype(np.float32))
+
+        def ref(q4):
+            return xla_mha(q4[:, :, :h], q4[:, :, h:2 * h], q4[:, :, 2 * h:])
+
+        got = pallas_mha_qkv(qkv, h, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref(qkv)),
+                                   atol=1e-5)
+        g_ref = jax.grad(lambda q4: (ref(q4) ** 2).sum())(qkv)
+        g_v2 = jax.grad(
+            lambda q4: (pallas_mha_qkv(q4, h, True) ** 2).sum()
+        )(qkv)
+        np.testing.assert_allclose(np.asarray(g_v2), np.asarray(g_ref),
+                                   atol=1e-5)
+
     def test_pallas_v3_matches_xla_fwd_and_vjp(self):
         # v3: natural-layout kernel on the raw qkv projection output.
         from cross_scale_mae_tpu.ops.attention import pallas_mha_v3, xla_mha
