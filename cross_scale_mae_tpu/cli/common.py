@@ -76,6 +76,11 @@ def add_data_args(p: argparse.ArgumentParser, pretrain: bool):
     g = p.add_argument_group("data")
     choices = ["fmow_rgb", "coco", "euro_sat", "fmow_sentinel", "naip",
                "synthetic"]
+    if pretrain:
+        # Temporal pairs feed the multi-scale objective's second view
+        # (models/mae.py); no classifier consumes them (the reference's
+        # temporal dataset is dead code, util/datasets.py:237-294).
+        choices += ["fmow_temporal"]
     if not pretrain:
         # The reference's classifier parsers use the short names
         # "rgb"/"sentinel" (main_finetune.py:296-304), and finetune.sh/

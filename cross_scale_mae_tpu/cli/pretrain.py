@@ -199,6 +199,13 @@ def main(args) -> dict:
         )
 
     # ---- data
+    if args.dataset_type == "fmow_temporal" and not cfg.multi_scale:
+        raise SystemExit(
+            "--dataset_type fmow_temporal needs a multi-scale model "
+            "(mae_vit_*_MsLd*): the second frame replaces the on-device "
+            "crop as the second view (models/mae.py); single-view MAE has "
+            "no slot for it"
+        )
     dataset = build_dataset(
         args.dataset_type, True,
         train_path=args.train_path, test_path=args.test_path,

@@ -6,6 +6,7 @@ from cross_scale_mae_tpu.data.datasets import (
     build_dataset,
     Dataset,
     FmowRgbDataset,
+    FmowTemporalDataset,
     GlobDataset,
     EurosatDataset,
     NaipDataset,
@@ -18,6 +19,7 @@ __all__ = [
     "build_dataset",
     "Dataset",
     "FmowRgbDataset",
+    "FmowTemporalDataset",
     "GlobDataset",
     "EurosatDataset",
     "NaipDataset",

@@ -53,6 +53,7 @@ DATASET_STATS: dict[str, tuple] = {
     "euro_sat": (SENTINEL_MEAN, SENTINEL_STD),
     "naip": ((0.5, 0.5, 0.5), (0.5, 0.5, 0.5)),
     "synthetic": (FMOW_RGB_MEAN, FMOW_RGB_STD),
+    "fmow_temporal": (FMOW_RGB_MEAN, FMOW_RGB_STD),
 }
 
 
@@ -330,6 +331,91 @@ class NaipDataset(Dataset):
         return arr
 
 
+class FmowTemporalDataset(Dataset):
+    """fMoW temporal pairs: two views of the same site at different times.
+
+    Repaired implementation of ``Dataset_fmow_temporal``
+    (util/datasets.py:237-294) — the reference class is dead code: it reads
+    ``self.image_arr`` / ``self.label_arr`` that no __init__ ever sets,
+    stacks undefined ``img_as_tensor_1/2/3`` locals, and returns an
+    undefined ``ts`` (so instantiating it crashes on first __getitem__).
+    This version keeps its intent (CSV of same-site image pairs + capture
+    timestamps; __getitem__ -> (frames, timestamps, label)) with a working
+    schema, addressed by column NAME instead of the reference's fragile
+    ``iloc`` positions:
+
+      required columns: ``category`` (int label), ``image_path``,
+      ``image_path2``, ``timestamp``, ``timestamp2`` (ISO-8601-ish,
+      ``YYYY-MM-DD[THH...]``); extra metadata columns (site, region,
+      sensor, ...) are ignored.
+
+    ``load`` returns a (2, S, S, C) uint8 stack — frame 0 is the anchor,
+    frame 1 the cross-temporal view (the multi-scale pretrain objective
+    accepts it in place of the on-device crop, models/mae.py). Parsed
+    timestamp features live in ``self.timestamps`` (N, 2, 3) int32 with the
+    reference's ``parse_timestamp`` encoding: [year - min_year, month - 1,
+    hour] (util/datasets.py:287-292), min_year taken over both columns.
+    """
+
+    mean, std = FMOW_RGB_MEAN, FMOW_RGB_STD
+    temporal = True
+    frames = 2
+
+    def __init__(self, csv_path: str, canvas_size: int):
+        super().__init__(canvas_size)
+        base = os.path.dirname(csv_path)
+
+        def _abs(p: str) -> str:
+            return p if os.path.isabs(p) else os.path.join(base, p)
+
+        with open(csv_path, newline="") as f:
+            reader = csv.DictReader(f)
+            rows = [r for r in reader if r and r.get("image_path")]
+        for col in ("category", "image_path", "image_path2", "timestamp",
+                    "timestamp2"):
+            if rows and col not in rows[0]:
+                raise ValueError(
+                    f"fmow_temporal csv {csv_path!r} is missing column "
+                    f"{col!r} (have {sorted(rows[0])})"
+                )
+        self.paths = [_abs(r["image_path"]) for r in rows]
+        self.paths2 = [_abs(r["image_path2"]) for r in rows]
+        self.labels = np.asarray([int(r["category"]) for r in rows], np.int32)
+        stamps = [(r["timestamp"], r["timestamp2"]) for r in rows]
+        self.min_year = min(
+            (int(t[:4]) for pair in stamps for t in pair), default=0
+        )
+        self.timestamps = np.asarray(
+            [[self.parse_timestamp(t) for t in pair] for pair in stamps],
+            np.int32,
+        ).reshape(len(rows), 2, 3)
+
+    @property
+    def sample_shape(self) -> tuple[int, ...]:
+        return (2, self.canvas_size, self.canvas_size, self.in_c)
+
+    def parse_timestamp(self, stamp: str) -> np.ndarray:
+        """[year - min_year, month - 1, hour] (util/datasets.py:287-292).
+        Date-only stamps get hour 0."""
+        year = int(stamp[:4])
+        month = int(stamp[5:7])
+        hour = int(stamp[11:13]) if len(stamp) >= 13 else 0
+        return np.array([year - self.min_year, month - 1, hour], np.int32)
+
+    def _decode(self, path: str) -> np.ndarray:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            arr = np.asarray(im.convert("RGB"))
+        return _resize_uint8(arr, self.canvas_size)
+
+    def load(self, index: int) -> tuple[np.ndarray, int]:
+        pair = np.stack(
+            [self._decode(self.paths[index]), self._decode(self.paths2[index])]
+        )
+        return pair, int(self.labels[index])
+
+
 class SyntheticDataset(Dataset):
     """Deterministic random data for benchmarks/tests (no reference
     equivalent — the reference has no test data story at all, SURVEY.md §4)."""
@@ -363,6 +449,7 @@ _DATASET_CLASSES: dict[str, type] = {
     "fmow_sentinel": SentinelDataset,
     "naip": NaipDataset,
     "synthetic": SyntheticDataset,
+    "fmow_temporal": FmowTemporalDataset,
 }
 
 
@@ -415,4 +502,6 @@ def build_dataset(
         return NaipDataset(path, canvas)
     if dataset_type == "synthetic":
         return SyntheticDataset(synthetic_len, canvas, **kw)
+    if dataset_type == "fmow_temporal":
+        return FmowTemporalDataset(path, canvas)
     raise ValueError(f"Invalid dataset type: {dataset_type}")

@@ -97,9 +97,13 @@ class DataLoader:
         bs = self.batch_size
         c = self.dataset.in_c
         s = self.dataset.canvas_size
+        # Temporal datasets deliver frame stacks (T, S, S, C) per sample
+        # (datasets.FmowTemporalDataset.sample_shape); everything else the
+        # plain (S, S, C) canvas.
+        shape = tuple(getattr(self.dataset, "sample_shape", (s, s, c)))
 
         def load_batch(idx_batch: np.ndarray):
-            imgs = np.empty((len(idx_batch), s, s, c), np.uint8)
+            imgs = np.empty((len(idx_batch),) + shape, np.uint8)
             labels = np.empty((len(idx_batch),), np.int32)
             if self.num_threads > 1 and len(idx_batch) > 1:
                 from concurrent.futures import ThreadPoolExecutor
@@ -107,7 +111,7 @@ class DataLoader:
                 def one(i_slot):
                     slot, i = i_slot
                     img, lab = self.dataset.load(int(i))
-                    imgs[slot] = img.reshape(s, s, c)
+                    imgs[slot] = img.reshape(shape)
                     labels[slot] = lab
 
                 with ThreadPoolExecutor(self.num_threads) as ex:
@@ -115,7 +119,7 @@ class DataLoader:
             else:
                 for slot, i in enumerate(idx_batch):
                     img, lab = self.dataset.load(int(i))
-                    imgs[slot] = img.reshape(s, s, c)
+                    imgs[slot] = img.reshape(shape)
                     labels[slot] = lab
             return imgs, labels
 

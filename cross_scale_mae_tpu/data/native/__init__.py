@@ -147,6 +147,10 @@ class NativeJpegLoader:
         # Python path.
         if len(dataset) == 0:
             return None
+        if getattr(dataset, "temporal", False):
+            # Frame-stack samples (T, S, S, C); the native ring decodes one
+            # image per slot. Python path handles the pair decode.
+            return None
         tiff_exts = (".tif", ".tiff")
         multiband = (
             getattr(dataset, "sentinel_norm", False)

@@ -267,11 +267,26 @@ def mae_loss_fn(
     train: bool = True,
     consistent_mask: bool = False,
 ) -> MAEOutput:
-    """Full training objective for any variant. imgs: (N, H, W, C) normalized.
+    """Full training objective for any variant. imgs: (N, H, W, C) normalized
+    — or a temporal pair (N, 2, H, W, C) (data/datasets.FmowTemporalDataset),
+    in which case frame 1 stands in for the on-device crop as the second
+    view and the Le/Ce/Cd/NT-Xent terms become cross-TEMPORAL consistency
+    losses (same objective shape; the reference's temporal dataset,
+    util/datasets.py:237-294, is dead code with no consuming model).
 
     Single-scale configs reduce to the baseline reconstruction loss. For
     multi-scale configs both views are batched into one forward at 2N.
     """
+    view2 = None
+    if imgs.ndim == 5:
+        if not cfg.multi_scale:
+            raise ValueError(
+                "temporal (N, T, H, W, C) batches need a multi-scale "
+                "variant (MsLd*): single-view MAE has no slot for the "
+                "second frame"
+            )
+        view2 = imgs[:, 1]
+        imgs = imgs[:, 0]
     if not cfg.multi_scale:
         out = mae_apply(params, cfg, imgs, rng)
         return out._replace(state=state)
@@ -279,12 +294,16 @@ def mae_loss_fn(
     n = imgs.shape[0]
     k_crop, k_mask1, k_mask2 = jax.random.split(rng, 3)
 
-    # Low-GSD view: on-device RandomResizedCrop (MAE_ViT_MsLd.py:29-35,52).
-    if cfg.ms_per_sample_crop:
+    if view2 is not None:
+        imgs_crop = view2
+    elif cfg.ms_per_sample_crop:
+        # Low-GSD view: on-device RandomResizedCrop (MAE_ViT_MsLd.py:29-35,52).
         boxes = sample_crop_boxes(
             k_crop, n, cfg.input_size, cfg.input_size, cfg.ms_range,
             cfg.ms_aspect_ratio,
         )
+        imgs_crop = crop_resize(imgs, boxes, cfg.input_size, method="linear",
+                                exact=False)
     else:
         boxes = jnp.broadcast_to(
             sample_crop_boxes(
@@ -293,8 +312,8 @@ def mae_loss_fn(
             ),
             (n, 4),
         )
-    imgs_crop = crop_resize(imgs, boxes, cfg.input_size, method="linear",
-                            exact=False)
+        imgs_crop = crop_resize(imgs, boxes, cfg.input_size, method="linear",
+                                exact=False)
 
     both = jnp.concatenate([imgs, imgs_crop], axis=0)  # (2N, H, W, C)
     noise1 = jax.random.uniform(k_mask1, (n, cfg.num_patches))

@@ -34,7 +34,14 @@ def _make_loss_fn(cfg: MAEConfig, tcfg: TrainConfig, augment: Callable | None):
     def loss_fn(params, model_state, imgs, rng):
         if augment is not None:
             k_aug, rng = jax.random.split(rng)
-            imgs = augment(k_aug, imgs)
+            if imgs.ndim == 5:
+                # Temporal pair (B, T, H, W, C): flatten frames so each gets
+                # independent augmentation params, then restore the pair axis.
+                b, t = imgs.shape[:2]
+                flat = augment(k_aug, imgs.reshape((b * t,) + imgs.shape[2:]))
+                imgs = flat.reshape((b, t) + flat.shape[1:])
+            else:
+                imgs = augment(k_aug, imgs)
         out = mae_loss_fn(
             params, model_state, cfg, imgs, rng,
             train=True, consistent_mask=consistent,
