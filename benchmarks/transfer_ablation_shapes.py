@@ -123,7 +123,8 @@ def make_dataset(root: str, n_per_class: int = 400, size: int = SIZE,
 
 def run_finetune(ckpt: str, train_csv: str, val_csv: str, out_dir: str,
                  epochs: int, batch_size: int = 32,
-                 blr: float = 5e-3, seed: int = 0) -> float:
+                 blr: float = 5e-3, seed: int = 0,
+                 eval_interval: int = 1) -> float:
     """Reference finetune recipe (layer-decay AdamW) on the tiny encoder."""
     from cross_scale_mae_tpu.cli import finetune
 
@@ -135,6 +136,7 @@ def run_finetune(ckpt: str, train_csv: str, val_csv: str, out_dir: str,
         "--nb_classes", "4", "--batch_size", str(batch_size),
         "--epochs", str(epochs), "--warmup_epochs", "5", "--seed", str(seed),
         "--blr", str(blr), "--output_dir", out_dir, "--log_interval", "50",
+        "--eval_interval", str(eval_interval),
     ]))
     return float(res["max_acc"])
 

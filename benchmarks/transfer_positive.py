@@ -90,6 +90,20 @@ def main():
     ap.add_argument("--reuse", action="store_true",
                     help="reuse existing dataset + pretrain checkpoints "
                          "in --workdir")
+    ap.add_argument("--inits", default="random,msld,msldcecd",
+                    help="comma list of trunk inits to run this invocation "
+                         "(stage the arms across sessions; results merge "
+                         "via --results_json)")
+    ap.add_argument("--val_subset", type=int, default=0,
+                    help="evaluate probes/finetunes on this many val images "
+                         "(0 = all 10k). 2000 keeps the std err ~1pt while "
+                         "cutting the per-epoch eval 5x")
+    ap.add_argument("--probe_eval_interval", type=int, default=1)
+    ap.add_argument("--ft_eval_interval", type=int, default=1)
+    ap.add_argument("--results_json", default="",
+                    help="append each finished arm to this json-lines file "
+                         "(crash-safe: a dead session loses at most the "
+                         "in-flight arm)")
     args = ap.parse_args()
 
     if args.platform:
@@ -133,8 +147,33 @@ def main():
         "msld": ckpts["mae_vit_tiny_MsLd"],
         "msldcecd": ckpts["mae_vit_tiny_MsLdCeCd"],
     }
+    selected = [s.strip() for s in args.inits.split(",") if s.strip()]
+    unknown = set(selected) - set(inits)
+    if unknown:
+        raise SystemExit(f"--inits {sorted(unknown)} not in {sorted(inits)}")
+    inits = {k: inits[k] for k in selected}
     low_csv = subset_csv(train_csv, args.ft_labels,
                          os.path.join(args.workdir, "ft_low.csv"))
+    if args.val_subset:
+        # Deterministic evaluation subset (same file for every arm).
+        eval_csv = os.path.join(args.workdir, f"val_{args.val_subset}.csv")
+        if not os.path.exists(eval_csv):
+            with open(val_csv) as f:
+                lines = f.readlines()
+            rng = np.random.default_rng(args.data_seed)
+            keep = rng.permutation(len(lines) - 1)[:args.val_subset]
+            with open(eval_csv, "w") as f:
+                f.write(lines[0])
+                f.writelines(lines[1 + i] for i in sorted(keep))
+    else:
+        eval_csv = val_csv
+
+    def record(arm: str, name: str, seed: int, acc: float):
+        print(f"{arm}[{name}] seed {seed}: {acc:.2f}%", flush=True)
+        if args.results_json:
+            with open(args.results_json, "a") as f:
+                f.write(json.dumps({"arm": arm, "init": name, "seed": seed,
+                                    "acc": acc}) + "\n")
 
     results: dict[str, dict[str, list[float]]] = {
         "probe_full": {}, "ft_low": {},
@@ -144,17 +183,19 @@ def main():
         results["ft_low"][name] = []
         for seed in range(args.seeds):
             acc = run_probe(
-                ckpt, train_csv, val_csv,
+                ckpt, train_csv, eval_csv,
                 os.path.join(args.workdir, f"probe_{name}_s{seed}"),
-                args.probe_epochs, seed=seed)
+                args.probe_epochs, seed=seed,
+                eval_interval=args.probe_eval_interval)
             results["probe_full"][name].append(acc)
-            print(f"probe_full[{name}] seed {seed}: {acc:.2f}%", flush=True)
+            record("probe_full", name, seed, acc)
             acc = run_finetune(
-                ckpt, low_csv, val_csv,
+                ckpt, low_csv, eval_csv,
                 os.path.join(args.workdir, f"ft_{name}_s{seed}"),
-                args.ft_epochs, blr=args.ft_blr, seed=seed)
+                args.ft_epochs, blr=args.ft_blr, seed=seed,
+                eval_interval=args.ft_eval_interval)
             results["ft_low"][name].append(acc)
-            print(f"ft_low[{name}] seed {seed}: {acc:.2f}%", flush=True)
+            record("ft_low", name, seed, acc)
 
     summary = {}
     for arm, by_init in results.items():

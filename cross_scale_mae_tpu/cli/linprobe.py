@@ -68,6 +68,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--min_lr", default=0.0, type=float)
     p.add_argument("--weight_decay", default=0.0, type=float)
     p.add_argument("--ckpt_interval", default=20, type=int)
+    p.add_argument("--eval_interval", default=1, type=int,
+                   help="run the full-val-set eval every N epochs (plus the "
+                        "final epoch); see cli/finetune.py")
     p.add_argument("--save_every", dest="ckpt_interval", type=int,
                    default=argparse.SUPPRESS,
                    help="reference alias for --ckpt_interval "
@@ -236,13 +239,15 @@ def main(args) -> dict:
             total_steps += 1
             if args.max_steps and total_steps >= args.max_steps:
                 break
-        stats = evaluate(eval_step, state, eval_loader, num_classes, epoch,
-                         batch_size=per_host_batch, sharding=data_sharding)
-        max_acc = max(max_acc, stats["acc1"])
-        rank0_print(
-            f"Epoch {epoch}: acc1 {stats['acc1']:.2f}% max_acc {max_acc:.2f}%"
-        )
-        logger.log_epoch({"epoch": epoch, **stats, "max_acc": max_acc})
+        if (epoch + 1) % args.eval_interval == 0 or epoch + 1 == args.epochs:
+            stats = evaluate(eval_step, state, eval_loader, num_classes, epoch,
+                             batch_size=per_host_batch, sharding=data_sharding)
+            max_acc = max(max_acc, stats["acc1"])
+            rank0_print(
+                f"Epoch {epoch}: acc1 {stats['acc1']:.2f}% "
+                f"max_acc {max_acc:.2f}%"
+            )
+            logger.log_epoch({"epoch": epoch, **stats, "max_acc": max_acc})
         if (epoch + 1) % args.ckpt_interval == 0 or epoch + 1 == args.epochs:
             from cross_scale_mae_tpu.utils.checkpoint import save_checkpoint
 
