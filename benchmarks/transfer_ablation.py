@@ -105,14 +105,20 @@ def subset_csv(train_csv: str, per_class: int, out_path: str) -> str:
     show an advantage a random trunk lacks."""
     import collections
 
+    # Relative image paths resolve against the CSV's own directory
+    # (data/datasets.py FmowRgbDataset), so a subset written to the workdir
+    # must carry ABSOLUTE paths or every row points at a nonexistent file.
+    base = os.path.dirname(os.path.abspath(train_csv))
     kept = collections.Counter()
     with open(train_csv) as f, open(out_path, "w") as out:
         out.write(f.readline())  # header
         for line in f:
-            cls = line.split(",", 1)[0]
+            cls, path = line.rstrip("\n").split(",", 1)
             if kept[cls] < per_class:
                 kept[cls] += 1
-                out.write(line)
+                if not os.path.isabs(path):
+                    path = os.path.join(base, path)
+                out.write(f"{cls},{path}\n")
     return out_path
 
 

@@ -12,6 +12,9 @@ images, pretrained ~15-20k optimizer steps on the real chip — the
 
 Arms (each evaluated at 3 probe/finetune seeds for error bars):
   * frozen linear probe, full labels  (reference linprobe recipe)
+  * frozen linear probe, low labels (100/class — the regime where SSL
+    features matter most; blr 2.0 per transfer_ablation's measured
+    low-label probe lr)
   * low-label finetune (100 labels/class, blr 5e-3 — the measured
     trainable lr from §8a)
 against three trunk inits:
@@ -75,6 +78,13 @@ def main():
                          "bs 128 over 40k images)")
     ap.add_argument("--batch_size", type=int, default=128)
     ap.add_argument("--probe_epochs", type=int, default=15)
+    ap.add_argument("--probe_low_epochs", type=int, default=60,
+                    help="low-label probe epochs (400 labels, bs 64 -> 6 "
+                         "steps/epoch; 60 epochs ~= the full-label probe's "
+                         "step count)")
+    ap.add_argument("--probe_low_blr", type=float, default=2.0,
+                    help="low-label probe base lr (blr 20 oscillates at "
+                         "tiny step counts, transfer_ablation --probe_blr)")
     ap.add_argument("--ft_epochs", type=int, default=150,
                     help="low-label finetune epochs (400 labels, bs 32 -> "
                          "~1.9k steps; §8a showed short runs are "
@@ -160,13 +170,36 @@ def main():
         if not os.path.exists(eval_csv):
             with open(val_csv) as f:
                 lines = f.readlines()
+            # Absolutize: relative paths resolve against the CSV's own
+            # directory, and this subset lives in the workdir, not data/.
+            base = os.path.dirname(os.path.abspath(val_csv))
+
+            def _abs(line: str) -> str:
+                cls, path = line.rstrip("\n").split(",", 1)
+                if not os.path.isabs(path):
+                    path = os.path.join(base, path)
+                return f"{cls},{path}\n"
+
             rng = np.random.default_rng(args.data_seed)
             keep = rng.permutation(len(lines) - 1)[:args.val_subset]
             with open(eval_csv, "w") as f:
                 f.write(lines[0])
-                f.writelines(lines[1 + i] for i in sorted(keep))
+                f.writelines(_abs(lines[1 + i]) for i in sorted(keep))
     else:
         eval_csv = val_csv
+
+    # Arm-level resume: a (arm, init, seed) already recorded in
+    # --results_json is not re-run — a dead session resumes from the
+    # in-flight arm, not from scratch (18 arm-units x ~10 min each).
+    done: dict[tuple, float] = {}
+    if args.results_json and os.path.exists(args.results_json):
+        with open(args.results_json) as f:
+            for line in f:
+                r = json.loads(line)
+                done[(r["arm"], r["init"], r["seed"])] = r["acc"]
+        if done:
+            print(f"resuming: {len(done)} arm(s) already recorded in "
+                  f"{args.results_json}", flush=True)
 
     def record(arm: str, name: str, seed: int, acc: float):
         print(f"{arm}[{name}] seed {seed}: {acc:.2f}%", flush=True)
@@ -176,26 +209,40 @@ def main():
                                     "acc": acc}) + "\n")
 
     results: dict[str, dict[str, list[float]]] = {
-        "probe_full": {}, "ft_low": {},
+        "probe_full": {}, "probe_low": {}, "ft_low": {},
     }
     for name, ckpt in inits.items():
-        results["probe_full"][name] = []
-        results["ft_low"][name] = []
+        for arm in results:
+            results[arm][name] = []
         for seed in range(args.seeds):
-            acc = run_probe(
-                ckpt, train_csv, eval_csv,
-                os.path.join(args.workdir, f"probe_{name}_s{seed}"),
-                args.probe_epochs, seed=seed,
-                eval_interval=args.probe_eval_interval)
-            results["probe_full"][name].append(acc)
-            record("probe_full", name, seed, acc)
-            acc = run_finetune(
-                ckpt, low_csv, eval_csv,
-                os.path.join(args.workdir, f"ft_{name}_s{seed}"),
-                args.ft_epochs, blr=args.ft_blr, seed=seed,
-                eval_interval=args.ft_eval_interval)
-            results["ft_low"][name].append(acc)
-            record("ft_low", name, seed, acc)
+            key = ("probe_full", name, seed)
+            if key not in done:
+                done[key] = run_probe(
+                    ckpt, train_csv, eval_csv,
+                    os.path.join(args.workdir, f"probe_{name}_s{seed}"),
+                    args.probe_epochs, seed=seed,
+                    eval_interval=args.probe_eval_interval)
+                record(*key, done[key])
+            results["probe_full"][name].append(done[key])
+            key = ("probe_low", name, seed)
+            if key not in done:
+                done[key] = run_probe(
+                    ckpt, low_csv, eval_csv,
+                    os.path.join(args.workdir, f"probelow_{name}_s{seed}"),
+                    args.probe_low_epochs, batch_size=64,
+                    blr=args.probe_low_blr, seed=seed,
+                    eval_interval=max(args.probe_eval_interval * 4, 1))
+                record(*key, done[key])
+            results["probe_low"][name].append(done[key])
+            key = ("ft_low", name, seed)
+            if key not in done:
+                done[key] = run_finetune(
+                    ckpt, low_csv, eval_csv,
+                    os.path.join(args.workdir, f"ft_{name}_s{seed}"),
+                    args.ft_epochs, blr=args.ft_blr, seed=seed,
+                    eval_interval=args.ft_eval_interval)
+                record(*key, done[key])
+            results["ft_low"][name].append(done[key])
 
     summary = {}
     for arm, by_init in results.items():
@@ -213,13 +260,15 @@ def main():
         "results": summary,
     }
     print(json.dumps(out), flush=True)
-    # markdown table for docs/VALIDATION.md §8b
-    print("\n| arm | random | MsLd | MsLdCeCd |", file=sys.stderr)
-    print("|---|---|---|---|", file=sys.stderr)
-    for arm in ("probe_full", "ft_low"):
+    # markdown table for docs/VALIDATION.md §8b (staged invocations only
+    # carry the --inits columns they ran)
+    cols = [k for k in ("random", "msld", "msldcecd") if k in inits]
+    print("\n| arm | " + " | ".join(cols) + " |", file=sys.stderr)
+    print("|" + "---|" * (len(cols) + 1), file=sys.stderr)
+    for arm in ("probe_full", "probe_low", "ft_low"):
         row = " | ".join(
             f"{summary[arm][k]['mean']:.1f} ± {summary[arm][k]['std']:.1f}"
-            for k in ("random", "msld", "msldcecd"))
+            for k in cols)
         print(f"| {arm} | {row} |", file=sys.stderr)
 
 

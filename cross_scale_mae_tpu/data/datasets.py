@@ -97,6 +97,35 @@ class Dataset:
     def num_classes(self) -> int:
         return int(self.labels.max()) + 1 if len(self.labels) else 0
 
+    def check_paths(self, *extra_lists: list) -> None:
+        """Fail fast on missing files instead of decoding garbage later.
+
+        Index-file datasets resolve relative paths against the index's own
+        directory; an index written elsewhere (a label subset, an eval
+        split) silently points every row at a nonexistent file, and the
+        decode layer's zero-fill policy then feeds constant images to
+        training — a chance-accuracy failure that surfaces hours later.
+        torch's DataLoader would crash in the worker at first __getitem__
+        (the reference's de-facto behavior); crashing at construction with
+        the resolved paths is strictly more debuggable.
+        """
+        missing = []
+        for plist in (self.paths, *extra_lists):
+            for p in plist:
+                if not os.path.exists(p):
+                    missing.append(p)
+                    if len(missing) >= 5:
+                        break
+            if len(missing) >= 5:
+                break
+        if missing:
+            raise FileNotFoundError(
+                f"{type(self).__name__}: dataset index points at missing "
+                f"files, e.g. {missing[:3]} — relative paths resolve "
+                f"against the index file's directory; an index written to "
+                f"another directory must use absolute paths"
+            )
+
     def _load_raw(self, index: int) -> np.ndarray:
         """Returns HWC uint8 (any spatial size)."""
         from PIL import Image
@@ -133,6 +162,7 @@ class FmowRgbDataset(Dataset):
                 labels.append(int(label))
         self.paths = paths
         self.labels = np.asarray(labels, np.int32)
+        self.check_paths()
 
 
 class GlobDataset(Dataset):
@@ -245,6 +275,7 @@ class EurosatDataset(_MultibandMixin, Dataset):
             [cat_id[os.path.basename(os.path.dirname(p))] for p in self.paths],
             np.int32,
         )
+        self.check_paths()
         self.masked_bands = masked_bands
         self.dropped_bands = dropped_bands
         if dropped_bands:
@@ -292,6 +323,7 @@ class SentinelDataset(_MultibandMixin, Dataset):
             for p in df["image_path"].tolist()
         ]
         self.labels = np.asarray([cat_id[c] for c in df["category"]], np.int32)
+        self.check_paths()
         self.masked_bands = masked_bands
         self.dropped_bands = dropped_bands
         if dropped_bands:
@@ -321,6 +353,7 @@ class NaipDataset(Dataset):
                 labels.append(int(row[1]))
         self.paths = paths
         self.labels = np.asarray(labels, np.int32)
+        self.check_paths()
 
     def _load_raw(self, index: int) -> np.ndarray:
         arr = np.load(self.paths[index])
@@ -381,6 +414,7 @@ class FmowTemporalDataset(Dataset):
         self.paths = [_abs(r["image_path"]) for r in rows]
         self.paths2 = [_abs(r["image_path2"]) for r in rows]
         self.labels = np.asarray([int(r["category"]) for r in rows], np.int32)
+        self.check_paths(self.paths2)
         stamps = [(r["timestamp"], r["timestamp2"]) for r in rows]
         self.min_year = min(
             (int(t[:4]) for pair in stamps for t in pair), default=0

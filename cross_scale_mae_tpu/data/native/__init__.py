@@ -217,6 +217,7 @@ class NativeJpegLoader:
         # post-start read, making the delta silently 0.
         failed_before = self._lib.csmae_loader_failed_count(self._handle)
         self._lib.csmae_loader_start_epoch(self._handle, epoch)
+        served = 0
         while True:
             imgs = np.empty((self.batch, self.canvas, self.canvas, self.channels),
                             np.uint8)
@@ -228,11 +229,22 @@ class NativeJpegLoader:
             )
             if got == 0:
                 break
+            served += got
             yield imgs[:got], labels[:got]
         failed = self._lib.csmae_loader_failed_count(self._handle) - failed_before
         if failed:
             # Failed decodes are zero-filled (torch DataLoader would crash
-            # the worker instead) — make that loud, never silent.
+            # the worker instead) — make that loud, never silent; and when
+            # the MAJORITY of an epoch is zero-filled the run is training on
+            # garbage, so refuse to continue (datasets also fail fast on
+            # missing files at construction, datasets.py check_paths).
+            if failed * 2 >= max(served, 1):
+                raise RuntimeError(
+                    f"native loader: {failed}/{served} image(s) failed to "
+                    f"decode this epoch — the dataset is effectively "
+                    f"unreadable (corrupt files, unsupported format, or bad "
+                    f"paths); refusing to train on zero-filled batches"
+                )
             import warnings
 
             warnings.warn(

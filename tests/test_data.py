@@ -46,6 +46,37 @@ class TestDatasets:
         assert img.shape == (32, 32, 3) and img.dtype == np.uint8
         assert label == 0
 
+    def test_missing_files_fail_fast(self, tmp_path):
+        """An index whose rows resolve to nonexistent files must raise at
+        construction, not feed zero-filled batches hours later. Regression:
+        a label-subset CSV written to a workdir kept the source CSV's
+        relative paths, silently re-basing every image onto the workdir —
+        all three r4 transfer-positive arms trained/evaluated on zeros."""
+        csv = tmp_path / "index.csv"
+        csv.write_text("category,image_path\n0,does_not_exist.jpg\n")
+        with pytest.raises(FileNotFoundError, match="missing"):
+            FmowRgbDataset(str(csv), canvas_size=32)
+
+    def test_subset_csv_absolutizes_paths(self, jpeg_dir, tmp_path):
+        """benchmarks.transfer_ablation.subset_csv writes a subset into a
+        DIFFERENT directory; its rows must become absolute so they keep
+        resolving against the source dataset."""
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "benchmarks"))
+        try:
+            from transfer_ablation import subset_csv
+        finally:
+            sys.path.pop(0)
+        _, csv_path = jpeg_dir
+        out = subset_csv(str(csv_path), 2, str(tmp_path / "subset.csv"))
+        ds = FmowRgbDataset(out, canvas_size=16)  # check_paths inside
+        assert len(ds) == 6  # 2 per class x 3 classes
+        img, _ = ds.load(0)
+        assert img.shape == (16, 16, 3)
+
     def test_glob(self, jpeg_dir):
         d, _ = jpeg_dir
         ds = GlobDataset(str(d), canvas_size=16)
@@ -179,6 +210,37 @@ class TestNative:
         # Second epoch still works (worker threads alive after failures).
         batches2 = list(dl.epoch(1))
         assert sum(len(l) for _, l in batches2) == 9
+
+    def test_native_loader_majority_failure_raises(self, tmp_path):
+        """When HALF OR MORE of an epoch fails to decode, zero-fill would
+        mean training on garbage — the loader must refuse instead."""
+        from PIL import Image
+
+        from cross_scale_mae_tpu.data import DataLoader, FmowRgbDataset
+        from cross_scale_mae_tpu.data.native import get_library
+
+        if get_library() is None:
+            pytest.skip("native loader not built")
+        rng = np.random.default_rng(2)
+        rows = []
+        for i in range(2):
+            p = tmp_path / f"ok_{i}.jpg"
+            Image.fromarray(
+                rng.integers(0, 256, (40, 40, 3), np.uint8)).save(p)
+            rows.append((0, p.name))
+        for i in range(4):
+            (tmp_path / f"bad_{i}.jpg").write_bytes(b"not an image" * 8)
+            rows.append((1, f"bad_{i}.jpg"))
+        csv = tmp_path / "index.csv"
+        with open(csv, "w") as f:
+            f.write("category,image_path\n")
+            for label, name in rows:
+                f.write(f"{label},{name}\n")
+        ds = FmowRgbDataset(str(csv), canvas_size=32)
+        dl = DataLoader(ds, 3, seed=0, num_threads=2, drop_last=False)
+        assert dl._native is not None, "native path should engage"
+        with pytest.raises(RuntimeError, match="refusing"):
+            list(dl.epoch(0))
 
     def test_native_loader_epoch(self, jpeg_dir):
         from cross_scale_mae_tpu.data.native import get_library
