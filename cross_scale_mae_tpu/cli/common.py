@@ -19,6 +19,13 @@ def add_runtime_args(p: argparse.ArgumentParser):
     g.add_argument("--device_batch_dtype", default="bfloat16")
     g.add_argument("--model_parallel", default=1, type=int,
                    help="tensor-parallel mesh axis size (1 = pure DP)")
+    g.add_argument("--sequence_parallel", action="store_true",
+                   help="Megatron-style sequence parallelism: the residual "
+                        "stream (LayerNorms, adds) stays sharded over the "
+                        "model axis between blocks — activation memory and "
+                        "block-boundary collectives drop 1/model_parallel. "
+                        "Needs --model_parallel > 1 and the gspmd step; see "
+                        "models/layers.sp_constrain")
     g.add_argument("--fsdp", action="store_true",
                    help="fully-sharded data parallelism: params AND "
                         "optimizer state sharded over the data axis (ZeRO-3 "

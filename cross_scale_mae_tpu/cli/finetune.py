@@ -287,8 +287,14 @@ def main(args) -> dict:
         drop_path_rate=args.drop_path, compute_dtype=args.compute_dtype,
         attention_impl=args.attention_impl, remat=args.remat, gelu=args.gelu,
         input_channels=train_ds.in_c, scan_blocks=not args.unroll_blocks,
+        sequence_parallel=args.sequence_parallel,
         **overrides,
     )
+    if args.sequence_parallel and args.model_parallel <= 1:
+        raise SystemExit(
+            "--sequence_parallel shards the token axis over the model mesh "
+            "axis \u2014 it needs --model_parallel > 1"
+        )
     tcfg = TrainConfig(
         epochs=args.epochs, warmup_epochs=args.warmup_epochs,
         batch_size=args.batch_size, accum_iter=args.accum_iter,
@@ -359,8 +365,10 @@ def main(args) -> dict:
         mean, std, args.input_size, normalize=eval_ds.normalize_on_device,
         dtype=args.compute_dtype,
     )
-    train_step = make_classify_train_step(vcfg, tcfg, schedule, augment=augment)
-    eval_step = make_eval_step(vcfg, preprocess=preprocess)
+    train_step = make_classify_train_step(
+        vcfg, tcfg, schedule, augment=augment, mesh=mesh
+    )
+    eval_step = make_eval_step(vcfg, preprocess=preprocess, mesh=mesh)
     data_sharding = batch_sharding(mesh)
 
     if args.eval:

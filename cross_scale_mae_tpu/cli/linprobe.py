@@ -121,8 +121,14 @@ def main(args) -> dict:
         compute_dtype=args.compute_dtype, attention_impl=args.attention_impl,
         gelu=args.gelu,
         input_channels=train_ds.in_c, scan_blocks=not args.unroll_blocks,
+        sequence_parallel=args.sequence_parallel,
         **overrides,
     )
+    if args.sequence_parallel and args.model_parallel <= 1:
+        raise SystemExit(
+            "--sequence_parallel shards the token axis over the model mesh "
+            "axis \u2014 it needs --model_parallel > 1"
+        )
     # Linear probe keeps only minimal augmentation (RandomResizedCrop +
     # flips); no mixup/smoothing (loss must be plain CE,
     # main_linprobe.py:562-565).
@@ -191,9 +197,10 @@ def main(args) -> dict:
     # the backbone backward entirely (torch requires_grad=False semantics;
     # optax.masked alone still computed-and-discarded it — ~3x step cost).
     train_step = make_classify_train_step(
-        vcfg, tcfg, schedule, augment=augment, freeze_backbone=True
+        vcfg, tcfg, schedule, augment=augment, freeze_backbone=True,
+        mesh=mesh,
     )
-    eval_step = make_eval_step(vcfg, preprocess=preprocess)
+    eval_step = make_eval_step(vcfg, preprocess=preprocess, mesh=mesh)
     data_sharding = batch_sharding(mesh)
 
     if args.eval:

@@ -140,12 +140,14 @@ def apply_reference_semantics(args) -> None:
     if getattr(args, "reference_semantics", False):
         if (getattr(args, "model_parallel", 1) > 1
                 or getattr(args, "zero1", False)
-                or getattr(args, "fsdp", False)):
+                or getattr(args, "fsdp", False)
+                or getattr(args, "sequence_parallel", False)):
             raise SystemExit(
                 "--reference_semantics forces --ddp_mode shard_map (pure "
                 "data-parallel, per-device NT-Xent/BN like DDP) and is "
-                "incompatible with --model_parallel/--zero1/--fsdp — the "
-                "reference has no TP/ZeRO to be faithful to"
+                "incompatible with --model_parallel/--zero1/--fsdp/"
+                "--sequence_parallel — the reference has no TP/ZeRO to be "
+                "faithful to"
             )
         args.gelu = "exact"
         args.batch_crop = True
@@ -178,7 +180,13 @@ def main(args) -> dict:
         remat=args.remat,
         gelu=args.gelu,
         scan_blocks=not args.unroll_blocks,
+        sequence_parallel=args.sequence_parallel,
     )
+    if args.sequence_parallel and args.model_parallel <= 1:
+        raise SystemExit(
+            "--sequence_parallel shards the token axis over the model mesh "
+            "axis — it needs --model_parallel > 1"
+        )
     tcfg = TrainConfig(
         epochs=args.epochs, warmup_epochs=args.warmup_epochs,
         batch_size=args.batch_size, accum_iter=args.accum_iter,
@@ -293,11 +301,18 @@ def main(args) -> dict:
         assert args.model_parallel == 1 and not args.zero1 and not args.fsdp, (
             "shard_map DDP mode is pure data-parallel"
         )
+        if cfg.sequence_parallel:
+            raise SystemExit(
+                "--sequence_parallel needs the gspmd step (the shard_map "
+                "DDP body has no 'model' axis to shard the sequence over)"
+            )
         step_fn = make_pretrain_step_shard_map(
             cfg, tcfg, schedule, mesh, augment=augment
         )
     else:
-        step_fn = make_pretrain_step(cfg, tcfg, schedule, augment=augment)
+        step_fn = make_pretrain_step(
+            cfg, tcfg, schedule, augment=augment, mesh=mesh
+        )
     data_sharding = batch_sharding(mesh)
 
     # ---- logging

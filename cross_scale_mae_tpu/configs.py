@@ -116,6 +116,12 @@ class MAEConfig:
     # Flat (N*L, D) scan carry: avoids sublane padding of the tiny
     # sequence dim (see layers.run_blocks_flat).
     flat_blocks: bool = False
+    # Megatron-style sequence parallelism: residual stream (LN/adds) stays
+    # sharded over the 'model' mesh axis between blocks; only meaningful
+    # with tensor parallelism (model axis > 1) under the GSPMD step. The
+    # step must be traced in a mesh context (pass mesh= to the builder).
+    # See layers.sp_constrain.
+    sequence_parallel: bool = False
     # False = unrolled layer loop (no scan residual-stacking copies —
     # measurably faster in training; slower to compile). See layers.run_blocks.
     scan_blocks: bool = True
@@ -162,6 +168,12 @@ class MAEConfig:
         d.setdefault("gelu", "exact")
         if d["gelu"] not in ("tanh", "exact"):
             raise ValueError(f"unknown gelu flavor {d['gelu']!r}")
+        # Execution-layout detail, not model semantics (numerics are
+        # identical with/without): rehydration consumers (viz, serving,
+        # finetune weight transfer) run without a mesh context, where a
+        # stale True would crash at trace. Training re-enables it from its
+        # own --sequence_parallel flag.
+        d["sequence_parallel"] = False
         return cls(**d)
 
 
@@ -235,6 +247,7 @@ class ViTClassifierConfig:
     remat: bool = False
     gelu: str = "tanh"        # "tanh" | "exact" (see MAEConfig.gelu)
     scan_blocks: bool = True  # False = unrolled layer loop (see layers.run_blocks)
+    sequence_parallel: bool = False  # see MAEConfig.sequence_parallel
 
     @property
     def grid_size(self) -> int:
@@ -257,6 +270,7 @@ class ViTClassifierConfig:
         d.setdefault("gelu", "exact")  # see MAEConfig.from_json
         if d["gelu"] not in ("tanh", "exact"):
             raise ValueError(f"unknown gelu flavor {d['gelu']!r}")
+        d["sequence_parallel"] = False  # see MAEConfig.from_json
         return cls(**d)
 
 

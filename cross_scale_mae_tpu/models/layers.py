@@ -202,6 +202,33 @@ def attention(p: Params, x: jnp.ndarray, num_heads: int, impl: str = "xla") -> j
     return linear(p["proj"], out)
 
 
+def sp_constrain(x: jnp.ndarray) -> jnp.ndarray:
+    """Megatron-style sequence-parallel residual constraint.
+
+    Pins the residual stream's token axis to the ``'model'`` mesh axis (the
+    batch axis stays on ``'data'``): LayerNorms and residual adds then run
+    sequence-sharded, and GSPMD implements the tensor-parallel block-boundary
+    reductions as reduce-scatter + all-gather pairs instead of all-reduces —
+    same bytes on the wire, but the activations between blocks live 1/tp-sized
+    per chip. Shapes: (N, L, D) carries shard L; the flat (N*L, D) carry
+    shards the fused token axis over both mesh axes.
+
+    Requires tracing inside a mesh context (the step builders enter
+    ``with mesh:`` when given ``mesh=``; see train/pretrain.py).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    spec = P("data", "model", None) if x.ndim == 3 else P(("data", "model"), None)
+    try:
+        return jax.lax.with_sharding_constraint(x, spec)
+    except RuntimeError as e:
+        raise RuntimeError(
+            "sequence_parallel=True needs the ('data','model') mesh in "
+            "context at trace time — pass mesh= to the step builder (or "
+            "wrap the traced call in `with mesh:`)"
+        ) from e
+
+
 def mlp(p: Params, x: jnp.ndarray, gelu: str = "tanh") -> jnp.ndarray:
     """MLP with GELU. ``gelu='tanh'`` (default) is the TPU-fast approximation
     computed in bf16; ``'exact'`` matches torch nn.GELU (timm Block / the
@@ -216,15 +243,19 @@ def mlp(p: Params, x: jnp.ndarray, gelu: str = "tanh") -> jnp.ndarray:
 
 
 def block(p: Params, x: jnp.ndarray, num_heads: int, impl: str = "xla",
-          norm_style: str = "pre", gelu: str = "tanh") -> jnp.ndarray:
+          norm_style: str = "pre", gelu: str = "tanh",
+          sp: bool = False) -> jnp.ndarray:
     """Transformer block. 'pre' = timm Block (x + f(ln(x))); 'post' mirrors the
-    xFormers residual_norm_style='post' option (MAE_ViT_Baseline.py:33)."""
+    xFormers residual_norm_style='post' option (MAE_ViT_Baseline.py:33).
+    ``sp=True`` pins the residual stream sequence-sharded after each join
+    (see :func:`sp_constrain`)."""
+    c = sp_constrain if sp else (lambda a: a)
     if norm_style == "pre":
-        x = x + attention(p["attn"], layer_norm(p["norm1"], x), num_heads, impl)
-        x = x + mlp(p["mlp"], layer_norm(p["norm2"], x), gelu)
+        x = c(x + attention(p["attn"], layer_norm(p["norm1"], x), num_heads, impl))
+        x = c(x + mlp(p["mlp"], layer_norm(p["norm2"], x), gelu))
     else:
-        x = layer_norm(p["norm1"], x + attention(p["attn"], x, num_heads, impl))
-        x = layer_norm(p["norm2"], x + mlp(p["mlp"], x, gelu))
+        x = c(layer_norm(p["norm1"], x + attention(p["attn"], x, num_heads, impl)))
+        x = c(layer_norm(p["norm2"], x + mlp(p["mlp"], x, gelu)))
     return x
 
 
@@ -237,6 +268,7 @@ def run_blocks(
     remat: bool = False,
     scan: bool = True,
     gelu: str = "tanh",
+    sp: bool = False,
 ) -> jnp.ndarray:
     """Apply a stack of blocks (leading axis = layer).
 
@@ -247,18 +279,23 @@ def run_blocks(
     flagship step in the round-1 profile); unrolled, residuals are plain
     buffers with no stacking traffic. Compile time grows with depth, so
     scan stays the default for tests/interactive use.
+
+    ``sp=True`` = sequence parallelism: the carry enters and leaves every
+    block sequence-sharded over the 'model' mesh axis (:func:`sp_constrain`).
     """
+    if sp:
+        x = sp_constrain(x)
     if not scan:
         depth = jax.tree.leaves(stacked)[0].shape[0]
-        blk = (jax.checkpoint(block, static_argnums=(2, 3, 4, 5))
+        blk = (jax.checkpoint(block, static_argnums=(2, 3, 4, 5, 6))
                if remat else block)
         for i in range(depth):
             layer = jax.tree.map(lambda a: a[i], stacked)
-            x = blk(layer, x, num_heads, impl, norm_style, gelu)
+            x = blk(layer, x, num_heads, impl, norm_style, gelu, sp)
         return x
 
     def body(carry, layer_params):
-        out = block(layer_params, carry, num_heads, impl, norm_style, gelu)
+        out = block(layer_params, carry, num_heads, impl, norm_style, gelu, sp)
         return out, None
 
     if remat:
@@ -309,6 +346,7 @@ def run_blocks_flat(
     norm_style: str = "pre",
     remat: bool = False,
     gelu: str = "tanh",
+    sp: bool = False,
 ) -> jnp.ndarray:
     """Scanned stack with a FLAT (N*L, D) carry.
 
@@ -316,22 +354,28 @@ def run_blocks_flat(
     sublane-tiled dim (padded 17->32 for bf16) on every elementwise op.
     Flattening once around the whole stack — rather than per block — keeps
     all LN/residual/MLP traffic unpadded; only attention's own reshape sees
-    the sequence axis."""
+    the sequence axis.
+
+    ``sp=True``: the flat carry is sharded over BOTH mesh axes on its fused
+    token dim (:func:`sp_constrain`) — LN/residual/MLP run fully sharded and
+    only attention's (n, l, ...) reshape gathers the sequence."""
     n, l, d = x.shape
     xf = x.reshape(n * l, d)
+    c = sp_constrain if sp else (lambda a: a)
+    xf = c(xf)
 
     def body(carry, p):
         if norm_style == "pre":
-            carry = carry + _attention_flat(
+            carry = c(carry + _attention_flat(
                 p["attn"], layer_norm(p["norm1"], carry), n, l, num_heads, impl
-            )
-            carry = carry + mlp(p["mlp"], layer_norm(p["norm2"], carry), gelu)
+            ))
+            carry = c(carry + mlp(p["mlp"], layer_norm(p["norm2"], carry), gelu))
         else:
-            carry = layer_norm(
+            carry = c(layer_norm(
                 p["norm1"],
                 carry + _attention_flat(p["attn"], carry, n, l, num_heads, impl),
-            )
-            carry = layer_norm(p["norm2"], carry + mlp(p["mlp"], carry, gelu))
+            ))
+            carry = c(layer_norm(p["norm2"], carry + mlp(p["mlp"], carry, gelu)))
         return carry, None
 
     if remat:

@@ -154,13 +154,13 @@ def mae_forward_encoder(
         x = layers.run_blocks_flat(
             params["encoder_blocks"], x, cfg.encoder_num_heads,
             cfg.attention_impl, cfg.residual_norm_style, cfg.remat,
-            gelu=cfg.gelu,
+            gelu=cfg.gelu, sp=cfg.sequence_parallel,
         )
     else:
         x = layers.run_blocks(
             params["encoder_blocks"], x, cfg.encoder_num_heads,
             cfg.attention_impl, cfg.residual_norm_style, cfg.remat,
-            scan=cfg.scan_blocks, gelu=cfg.gelu,
+            scan=cfg.scan_blocks, gelu=cfg.gelu, sp=cfg.sequence_parallel,
         )
     if cfg.apply_encoder_norm:
         # The reference computes-and-discards this norm (MAE_ViT_Baseline.py:264).
@@ -182,13 +182,13 @@ def mae_forward_decoder(
         y = layers.run_blocks_flat(
             params["decoder_blocks"], y, cfg.decoder_num_heads,
             cfg.attention_impl, cfg.residual_norm_style, cfg.remat,
-            gelu=cfg.gelu,
+            gelu=cfg.gelu, sp=cfg.sequence_parallel,
         )
     else:
         y = layers.run_blocks(
             params["decoder_blocks"], y, cfg.decoder_num_heads,
             cfg.attention_impl, cfg.residual_norm_style, cfg.remat,
-            scan=cfg.scan_blocks, gelu=cfg.gelu,
+            scan=cfg.scan_blocks, gelu=cfg.gelu, sp=cfg.sequence_parallel,
         )
     y = layers.layer_norm(params["decoder_norm"], y)
     pred = layers.linear(params["decoder_pred"], y)[:, 1:, :]
@@ -244,13 +244,13 @@ def mae_encode(
         x = layers.run_blocks_flat(
             params["encoder_blocks"], x, cfg.encoder_num_heads,
             cfg.attention_impl, cfg.residual_norm_style, cfg.remat,
-            gelu=cfg.gelu,
+            gelu=cfg.gelu, sp=cfg.sequence_parallel,
         )
     else:
         x = layers.run_blocks(
             params["encoder_blocks"], x, cfg.encoder_num_heads,
             cfg.attention_impl, cfg.residual_norm_style, cfg.remat,
-            scan=cfg.scan_blocks, gelu=cfg.gelu,
+            scan=cfg.scan_blocks, gelu=cfg.gelu, sp=cfg.sequence_parallel,
         )
     if cfg.apply_encoder_norm:
         x = layers.layer_norm(params["encoder_norm"], x)

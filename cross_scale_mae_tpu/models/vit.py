@@ -76,14 +76,17 @@ def _drop_path_scan(
     rng: jax.Array,
     remat: bool,
     gelu: str = "tanh",
+    sp: bool = False,
 ) -> jnp.ndarray:
     """Scanned blocks with per-layer stochastic depth (timm linspace ramp)."""
     depth = rates.shape[0]
     keys = jax.random.split(rng, depth)
+    if sp:
+        x = layers.sp_constrain(x)
 
     def body(carry, xs):
         p, rate, key = xs
-        out = layers.block(p, carry, num_heads, impl, gelu=gelu)
+        out = layers.block(p, carry, num_heads, impl, gelu=gelu, sp=sp)
         # Per-sample residual drop of the whole block output (timm DropPath
         # semantics; applied to the block delta, scaled by keep prob).
         keep = 1.0 - rate
@@ -121,12 +124,13 @@ def vit_forward_features(
         )
         x = _drop_path_scan(
             params["blocks"], x, cfg.num_heads, cfg.attention_impl, rates, rng,
-            cfg.remat, gelu=cfg.gelu,
+            cfg.remat, gelu=cfg.gelu, sp=cfg.sequence_parallel,
         )
     else:
         x = layers.run_blocks(
             params["blocks"], x, cfg.num_heads, cfg.attention_impl,
             remat=cfg.remat, scan=cfg.scan_blocks, gelu=cfg.gelu,
+            sp=cfg.sequence_parallel,
         )
     if cfg.global_pool:
         feat = jnp.mean(x[:, 1:, :], axis=1)

@@ -30,6 +30,7 @@ def make_classify_train_step(
     donate: bool = True,
     augment: Callable | None = None,
     freeze_backbone: bool = False,
+    mesh=None,
 ) -> Callable:
     """step(state, imgs, labels, rng) -> (state, metrics). ``augment`` (from
     ops/augment.py) moves the dataset transform chain on device; imgs are
@@ -39,10 +40,20 @@ def make_classify_train_step(
     (reference semantics, engine_finetune.py accum path) consumed as a
     lax.scan of microbatches — mixup and augmentation are keyed per
     microbatch, matching accum_iter separate reference iterations.
+
+    ``mesh``: required iff ``cfg.sequence_parallel`` (see
+    train/pretrain.make_pretrain_step).
     """
+    import contextlib
 
     use_mix = (tcfg.mixup > 0 or tcfg.cutmix > 0
                or tcfg.cutmix_minmax is not None)
+    if cfg.sequence_parallel and mesh is None:
+        raise ValueError(
+            "cfg.sequence_parallel=True needs the mesh at trace time: "
+            "make_classify_train_step(..., mesh=mesh)"
+        )
+    trace_ctx = lambda: (mesh if mesh is not None else contextlib.nullcontext())
 
     def loss_fn(params, model_state, imgs, labels, rng):
         k_aug, k_mix, k_model = jax.random.split(rng, 3)
@@ -69,6 +80,7 @@ def make_classify_train_step(
         return loss, (acc1, new_model_state)
 
     def step(state: TrainState, imgs, labels, rng):
+      with trace_ctx():
         rng = jax.random.fold_in(rng, state.step)
         accum = tcfg.accum_iter
         if accum == 1:
@@ -111,7 +123,11 @@ def make_classify_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(cfg: ViTClassifierConfig, preprocess: Callable | None = None) -> Callable:
+def make_eval_step(
+    cfg: ViTClassifierConfig,
+    preprocess: Callable | None = None,
+    mesh=None,
+) -> Callable:
     """step(params, model_state, imgs, labels[, valid]) -> metrics + logits.
 
     Mirrors engine_finetune.evaluate's per-batch work (:127-160); top-5 and
@@ -125,7 +141,16 @@ def make_eval_step(cfg: ViTClassifierConfig, preprocess: Callable | None = None)
     ``n`` is the valid count.
     """
 
+    import contextlib
+
+    if cfg.sequence_parallel and mesh is None:
+        raise ValueError(
+            "cfg.sequence_parallel=True needs the mesh at trace time: "
+            "make_eval_step(..., mesh=mesh)"
+        )
+
     def step(params, model_state, imgs, labels, valid=None):
+      with (mesh if mesh is not None else contextlib.nullcontext()):
         if preprocess is not None:
             imgs = preprocess(imgs)
         logits, _ = vit_apply(params, model_state, cfg, imgs, train=False)

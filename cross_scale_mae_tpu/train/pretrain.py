@@ -185,6 +185,7 @@ def make_pretrain_step(
     schedule: Callable[[jnp.ndarray], jnp.ndarray],
     donate: bool = True,
     augment: Callable | None = None,
+    mesh=None,
 ) -> Callable:
     """Returns jit-compiled ``step(state, batch, rng) -> (state, metrics)``.
 
@@ -193,11 +194,22 @@ def make_pretrain_step(
     chain runs on device inside this same XLA program.
     With ``tcfg.accum_iter > 1``, B = accum_iter * batch_size (the loader
     delivers accum_iter batches per optimizer step, reference semantics).
+
+    ``mesh``: only needed when ``cfg.sequence_parallel`` — the in-model
+    sharding constraints (layers.sp_constrain) name mesh axes, so tracing
+    must happen inside ``with mesh:``; harmless otherwise.
     """
+    import contextlib
 
     loss_fn = _make_loss_fn(cfg, tcfg, augment)
+    if cfg.sequence_parallel and mesh is None:
+        raise ValueError(
+            "cfg.sequence_parallel=True needs the mesh at trace time: "
+            "make_pretrain_step(..., mesh=mesh)"
+        )
 
     def step(state: TrainState, batch: jnp.ndarray, rng: jax.Array):
+      with (mesh if mesh is not None else contextlib.nullcontext()):
         rng = _step_rng(tcfg, rng, state.step)
         grads, loss, losses, new_model_state = _accum_value_and_grads(
             loss_fn, state.params, state.model_state, batch, rng,
