@@ -207,6 +207,20 @@ def test_sp_requires_mesh_at_build():
         )
 
 
+def test_sp_cli_guard_requires_model_parallel(tmp_path):
+    """All three training CLIs must reject --sequence_parallel without a
+    model axis at argument-validation time (before any device work)."""
+    from cross_scale_mae_tpu.cli import finetune, linprobe, pretrain
+
+    for mod in (pretrain, finetune, linprobe):
+        args = mod.get_args_parser().parse_args([
+            "--sequence_parallel", "--dataset_type", "synthetic",
+            "--output_dir", str(tmp_path / mod.__name__.rsplit(".", 1)[-1]),
+        ])
+        with pytest.raises(SystemExit, match="model_parallel"):
+            mod.main(args)
+
+
 def test_sp_dropped_on_rehydration():
     """Checkpoint configs rehydrate with sequence_parallel=False — viz and
     serving consumers run without a mesh context and must not inherit a
