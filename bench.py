@@ -37,7 +37,8 @@ BASELINE_REF_IMGS_PER_SEC_PER_CHIP = 380.0
 
 
 def _setup(scan_blocks=False, attention_impl="pallas_v3", batch_crop=False,
-           batch_per_chip=None):
+           batch_per_chip=None, gelu="tanh", adam_mu_dtype=None,
+           adam_nu_dtype=None):
     import jax
     import numpy as np
 
@@ -60,11 +61,12 @@ def _setup(scan_blocks=False, attention_impl="pallas_v3", batch_crop=False,
         # output directly; kills the head fold/unfold HBM transposes;
         # round 2, 1520 -> 1945 @ b128, 2004 @ b256) + tanh GELU (exact-erf
         # GELU cost ~18.6 ms/step in fp32 erfc + sign-predicate bit-packing;
-        # round 2, 1978 -> ~2320) + the 24 MB scoped-VMEM limit set at
-        # package import (decoder attention bwd G=16; ~2320 -> ~2380;
-        # benchmarks/profile_step.py evidence).
+        # round 2, 1978 -> ~2320; gelu='exact' measured separately as
+        # value_exact_gelu — strict reference/timm numerics) + the 24 MB
+        # scoped-VMEM limit set at package import (decoder attention bwd
+        # G=16; ~2320 -> ~2380; benchmarks/profile_step.py evidence).
         scan_blocks=scan_blocks, attention_impl=attention_impl,
-        ms_per_sample_crop=not batch_crop,
+        ms_per_sample_crop=not batch_crop, gelu=gelu,
     )
     if batch_per_chip is None:
         # Round-3 batch sweep (b256 2378 / b384 2410-2430 / b512 2399):
@@ -78,7 +80,8 @@ def _setup(scan_blocks=False, attention_impl="pallas_v3", batch_crop=False,
     mesh = make_mesh(model_parallel=1)
     schedule = warmup_half_cosine(tcfg.resolved_lr(batch), 0.0, 40, 400, 1000)
     params, mstate = mae_init(jax.random.key(0), cfg)
-    tx = build_optimizer(params, schedule, weight_decay=0.05)
+    tx = build_optimizer(params, schedule, weight_decay=0.05,
+                         mu_dtype=adam_mu_dtype, nu_dtype=adam_nu_dtype)
     state = TrainState.create(params, mstate, tx)
     state = shard_train_state(mesh, state, tensor_parallel=False)
     imgs = np.random.default_rng(0).integers(
@@ -87,8 +90,15 @@ def _setup(scan_blocks=False, attention_impl="pallas_v3", batch_crop=False,
     return cfg, tcfg, schedule, mesh, state, imgs, batch, n_chips
 
 
-def run_fused(n_steps: int = 10, batch_per_chip: int | None = None) -> float:
-    """Production path: everything in one donated XLA program."""
+def run_fused(n_steps: int = 10, batch_per_chip: int | None = None,
+              gelu: str = "tanh", adam_mu_dtype: str | None = None,
+              adam_nu_dtype: str | None = None) -> float:
+    """Production path: everything in one donated XLA program.
+
+    ``gelu='exact'`` measures strict reference numerics (torch nn.GELU /
+    timm Block, MAE_ViT_Baseline.py:160-188); 'tanh' is the TPU-fast
+    default the headline uses. ``adam_mu_dtype``/``adam_nu_dtype`` store
+    Adam moments in bf16 (optimizer-pass HBM experiment, VALIDATION §5)."""
     import jax
     import jax.numpy as jnp
 
@@ -98,7 +108,8 @@ def run_fused(n_steps: int = 10, batch_per_chip: int | None = None) -> float:
     from cross_scale_mae_tpu.train.pretrain import make_pretrain_step
 
     cfg, tcfg, schedule, mesh, state, imgs, batch, n_chips = _setup(
-        batch_per_chip=batch_per_chip
+        batch_per_chip=batch_per_chip, gelu=gelu,
+        adam_mu_dtype=adam_mu_dtype, adam_nu_dtype=adam_nu_dtype,
     )
     augment = make_pretrain_augment(
         FMOW_RGB_MEAN, FMOW_RGB_STD, cfg.input_size, dtype=cfg.compute_dtype

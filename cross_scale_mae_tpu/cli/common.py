@@ -111,6 +111,22 @@ def add_data_args(p: argparse.ArgumentParser, pretrain: bool):
         g.add_argument("--nb_classes", default=62, type=int)
 
 
+def validate_parallel_args(args) -> None:
+    """Cross-flag validation that must run BEFORE any device work.
+
+    Called at the very top of each entry point's main() — ahead of
+    setup_runtime's jax.distributed.initialize / backend init / mesh
+    creation and any dataset construction — so a bad flag combination
+    fails in milliseconds, not after a cluster rendezvous
+    (tests/test_sequence_parallel.py CLI-guard contract).
+    """
+    if getattr(args, "sequence_parallel", False) and args.model_parallel <= 1:
+        raise SystemExit(
+            "--sequence_parallel shards the token axis over the model mesh "
+            "axis — it needs --model_parallel > 1"
+        )
+
+
 def setup_runtime(args) -> dict[str, Any]:
     """Distributed init + mesh + per-host seeding. Returns context dict."""
     from cross_scale_mae_tpu.parallel import initialize_distributed, make_mesh

@@ -33,6 +33,7 @@ from cross_scale_mae_tpu.cli.common import (
     encode_run_name,
     make_loader,
     setup_runtime,
+    validate_parallel_args,
 )
 from cross_scale_mae_tpu.configs import TrainConfig, get_vit_config
 from cross_scale_mae_tpu.data import build_dataset
@@ -253,6 +254,7 @@ def evaluate(
 
 def main(args) -> dict:
     apply_reference_compat(args, "finetune")
+    validate_parallel_args(args)
     ctx = setup_runtime(args)
     mesh = ctx["mesh"]
 
@@ -290,11 +292,6 @@ def main(args) -> dict:
         sequence_parallel=args.sequence_parallel,
         **overrides,
     )
-    if args.sequence_parallel and args.model_parallel <= 1:
-        raise SystemExit(
-            "--sequence_parallel shards the token axis over the model mesh "
-            "axis \u2014 it needs --model_parallel > 1"
-        )
     tcfg = TrainConfig(
         epochs=args.epochs, warmup_epochs=args.warmup_epochs,
         batch_size=args.batch_size, accum_iter=args.accum_iter,

@@ -30,6 +30,7 @@ from cross_scale_mae_tpu.cli.common import (
     encode_run_name,
     make_loader,
     setup_runtime,
+    validate_parallel_args,
 )
 from cross_scale_mae_tpu.cli.finetune import evaluate, load_pretrained_encoder
 from cross_scale_mae_tpu.configs import TrainConfig, get_vit_config
@@ -86,6 +87,7 @@ def get_args_parser() -> argparse.ArgumentParser:
 
 def main(args) -> dict:
     apply_reference_compat(args, "linprobe")
+    validate_parallel_args(args)
     ctx = setup_runtime(args)
     mesh = ctx["mesh"]
 
@@ -124,11 +126,6 @@ def main(args) -> dict:
         sequence_parallel=args.sequence_parallel,
         **overrides,
     )
-    if args.sequence_parallel and args.model_parallel <= 1:
-        raise SystemExit(
-            "--sequence_parallel shards the token axis over the model mesh "
-            "axis \u2014 it needs --model_parallel > 1"
-        )
     # Linear probe keeps only minimal augmentation (RandomResizedCrop +
     # flips); no mixup/smoothing (loss must be plain CE,
     # main_linprobe.py:562-565).

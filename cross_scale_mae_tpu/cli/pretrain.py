@@ -33,6 +33,7 @@ from cross_scale_mae_tpu.cli.common import (
     encode_run_name,
     make_loader,
     setup_runtime,
+    validate_parallel_args,
 )
 from cross_scale_mae_tpu.configs import TrainConfig, get_mae_config, mae_model_names
 from cross_scale_mae_tpu.data import DATASET_STATS, build_dataset
@@ -157,6 +158,7 @@ def apply_reference_semantics(args) -> None:
 def main(args) -> dict:
     apply_reference_compat(args, "pretrain")
     apply_reference_semantics(args)
+    validate_parallel_args(args)
     ctx = setup_runtime(args)
     mesh = ctx["mesh"]
     rank0_print(f"devices: {ctx['global_devices']} mesh: {dict(mesh.shape)}")
@@ -182,11 +184,6 @@ def main(args) -> dict:
         scan_blocks=not args.unroll_blocks,
         sequence_parallel=args.sequence_parallel,
     )
-    if args.sequence_parallel and args.model_parallel <= 1:
-        raise SystemExit(
-            "--sequence_parallel shards the token axis over the model mesh "
-            "axis — it needs --model_parallel > 1"
-        )
     tcfg = TrainConfig(
         epochs=args.epochs, warmup_epochs=args.warmup_epochs,
         batch_size=args.batch_size, accum_iter=args.accum_iter,

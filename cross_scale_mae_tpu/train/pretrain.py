@@ -25,7 +25,12 @@ from cross_scale_mae_tpu.models.mae import mae_loss_fn
 from cross_scale_mae_tpu.train.state import TrainState, global_norm
 
 
-def _make_loss_fn(cfg: MAEConfig, tcfg: TrainConfig, augment: Callable | None):
+def make_pretrain_loss_fn(cfg: MAEConfig, tcfg: TrainConfig,
+                          augment: Callable | None):
+    """The exact per-batch objective the step builders differentiate:
+    (params, model_state, imgs, rng) -> (loss, MAEOutput). Public so the
+    driver's shard_map certification leg (__graft_entry__.py) can compute a
+    per-shard ground truth with the same augmentation + rng handling."""
     # mask_seed reproduces the reference's torch.manual_seed(mask_seed)
     # inside EACH per-view forward (MAE_ViT_Baseline.py:301-302): identical
     # mask noise for both scale views => consistent_mask is implied.
@@ -133,7 +138,7 @@ def make_pretrain_step_shard_map(
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
-    loss_fn = _make_loss_fn(cfg, tcfg, augment)
+    loss_fn = make_pretrain_loss_fn(cfg, tcfg, augment)
 
     def local_grads(params, model_state, batch, rng):
         # Per-shard rng: decorrelate augmentation across shards (the
@@ -201,7 +206,7 @@ def make_pretrain_step(
     """
     import contextlib
 
-    loss_fn = _make_loss_fn(cfg, tcfg, augment)
+    loss_fn = make_pretrain_loss_fn(cfg, tcfg, augment)
     if cfg.sequence_parallel and mesh is None:
         raise ValueError(
             "cfg.sequence_parallel=True needs the mesh at trace time: "
