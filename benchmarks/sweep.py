@@ -116,6 +116,10 @@ def main():
         "b256_unroll_pallas3": (base.replace(scan_blocks=False, attention_impl="pallas_v3"), 256),
         "b384_unroll_pallas3": (base.replace(scan_blocks=False, attention_impl="pallas_v3"), 384),
         "b512_unroll_pallas3": (base.replace(scan_blocks=False, attention_impl="pallas_v3"), 512),
+        # flat+v3 (round 5): the two fastest layouts combined — flat (N*L,D)
+        # carry for LN/residual/MLP, natural-layout kernel for attention.
+        "b384_flat_pallas3": (base.replace(flat_blocks=True, attention_impl="pallas_v3"), 384),
+        "b384_flat_unroll_pallas3": (base.replace(flat_blocks=True, scan_blocks=False, attention_impl="pallas_v3"), 384),
     }
     if args.variants:
         variants = {k: v for k, v in variants.items() if k in args.variants}

@@ -124,7 +124,8 @@ def subset_csv(train_csv: str, per_class: int, out_path: str) -> str:
 
 def run_probe(ckpt: str, train_csv: str, val_csv: str, out_dir: str,
               epochs: int, batch_size: int = 128, blr: float = 20.0,
-              seed: int = 0, eval_interval: int = 1) -> float:
+              seed: int = 0, eval_interval: int = 1,
+              nb_classes: int = 4) -> float:
     from cross_scale_mae_tpu.cli import linprobe
 
     res = linprobe.main(linprobe.get_args_parser().parse_args([
@@ -132,7 +133,7 @@ def run_probe(ckpt: str, train_csv: str, val_csv: str, out_dir: str,
         "--num_heads", "8", "--input_size", "64", "--patch_size", "8",
         "--finetune", ckpt, "--dataset_type", "fmow_rgb",
         "--train_path", train_csv, "--test_path", val_csv,
-        "--nb_classes", "4", "--batch_size", str(batch_size),
+        "--nb_classes", str(nb_classes), "--batch_size", str(batch_size),
         "--epochs", str(epochs), "--warmup_epochs", "1", "--seed", str(seed),
         "--blr", str(blr), "--output_dir", out_dir, "--log_interval", "20",
         "--eval_interval", str(eval_interval),

@@ -121,10 +121,91 @@ def make_dataset(root: str, n_per_class: int = 400, size: int = SIZE,
             len(rows_train), len(rows_val))
 
 
+def make_constellation_dataset(root: str, n_classes: int = 62,
+                               n_per_class: int = 400, size: int = SIZE,
+                               seed: int = 0, dots: int = 5):
+    """Class-RICH configuration dataset: each class is a fixed constellation.
+
+    Built for the §8c positive control (VERDICT r4 §next-6): with 4 classes
+    the NT-Xent denominator is mostly FALSE negatives (any two random
+    samples are same-class with p=1/4), which structurally penalizes the
+    contrastive term. 62 classes mimic fMoW's label space (util/datasets.py
+    fMoW has 62 categories) and make the negatives pool honest (p=1/62).
+
+    Class definition: ``dots`` disk centers drawn ONCE per class (class-
+    seeded) inside the unit disc, min-separation enforced by rejection.
+    Each image renders that constellation under a random global rotation /
+    scale / translation on the same random-grating background as
+    ``make_dataset`` — classification requires recognizing the spatial
+    CONFIGURATION; no texture or area cue separates classes (total disk
+    area is identical across classes)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+
+    # Per-class constellations (unit-disc coordinates, min separation 0.55).
+    constellations = []
+    for cls in range(n_classes):
+        crng = np.random.default_rng(1_000_003 * (seed + 1) + cls)
+        pts: list[np.ndarray] = []
+        while len(pts) < dots:
+            p = crng.uniform(-1, 1, 2)
+            if np.linalg.norm(p) > 1:
+                continue
+            if pts and min(np.linalg.norm(p - q) for q in pts) < 0.55:
+                continue
+            pts.append(p)
+        constellations.append(np.stack(pts))
+
+    dot_r2 = (AREA / dots) / np.pi  # per-dot radius^2, area-matched total
+    coord = np.arange(size, dtype=np.float32)
+    yy, xx = np.meshgrid(coord, coord, indexing="ij")
+    coord_c = coord - size / 2
+    yyc, xxc = np.meshgrid(coord_c, coord_c, indexing="ij")
+    rows_train, rows_val = [], []
+    for cls in range(n_classes):
+        base_pts = constellations[cls]
+        for i in range(n_per_class):
+            period = rng.uniform(5, 18)
+            bg_theta = rng.uniform(0, np.pi)
+            phase = rng.uniform(0, 2 * np.pi)
+            proj = xxc * np.cos(bg_theta) + yyc * np.sin(bg_theta)
+            bg = 0.5 + 0.18 * np.sin(2 * np.pi * proj / period + phase)
+
+            theta = rng.uniform(0, 2 * np.pi)
+            scale = rng.uniform(14.0, 20.0)  # unit disc -> px
+            rot = np.array([[np.cos(theta), -np.sin(theta)],
+                            [np.sin(theta), np.cos(theta)]], np.float32)
+            margin = scale + 4
+            cx = rng.uniform(margin, size - margin)
+            cy = rng.uniform(margin, size - margin)
+            centers = base_pts @ rot.T * scale + np.array([cx, cy])
+
+            mask = np.zeros((size, size), bool)
+            for px, py in centers:
+                mask |= (xx - px) ** 2 + (yy - py) ** 2 <= dot_r2
+            img = bg + 0.35 * mask
+            gain = rng.uniform(0.55, 0.95)
+            arr = np.broadcast_to(img[..., None], (size, size, 3))
+            arr = arr * gain * 200.0 + rng.normal(0, 15, (size, size, 3))
+            arr = np.clip(arr, 0, 255).astype(np.uint8)
+            name = f"c{cls:02d}_{i:04d}.jpg"
+            Image.fromarray(arr).save(os.path.join(root, name), quality=92)
+            (rows_val if i % 5 == 0 else rows_train).append((cls, name))
+    for split, rows in (("train", rows_train), ("val", rows_val)):
+        with open(os.path.join(root, f"{split}.csv"), "w") as f:
+            f.write("category,image_path\n")
+            for cls, name in rows:
+                f.write(f"{cls},{name}\n")
+    return (os.path.join(root, "train.csv"), os.path.join(root, "val.csv"),
+            len(rows_train), len(rows_val))
+
+
 def run_finetune(ckpt: str, train_csv: str, val_csv: str, out_dir: str,
                  epochs: int, batch_size: int = 32,
                  blr: float = 5e-3, seed: int = 0,
-                 eval_interval: int = 1) -> float:
+                 eval_interval: int = 1, nb_classes: int = 4) -> float:
     """Reference finetune recipe (layer-decay AdamW) on the tiny encoder."""
     from cross_scale_mae_tpu.cli import finetune
 
@@ -133,7 +214,7 @@ def run_finetune(ckpt: str, train_csv: str, val_csv: str, out_dir: str,
         "--num_heads", "8", "--input_size", str(SIZE), "--patch_size", "8",
         "--finetune", ckpt, "--dataset_type", "fmow_rgb",
         "--train_path", train_csv, "--test_path", val_csv,
-        "--nb_classes", "4", "--batch_size", str(batch_size),
+        "--nb_classes", str(nb_classes), "--batch_size", str(batch_size),
         "--epochs", str(epochs), "--warmup_epochs", "5", "--seed", str(seed),
         "--blr", str(blr), "--output_dir", out_dir, "--log_interval", "50",
         "--eval_interval", str(eval_interval),

@@ -46,7 +46,12 @@ sys.path.insert(0, _HERE)
 import numpy as np
 
 from transfer_ablation import run_probe, subset_csv
-from transfer_ablation_shapes import SIZE, make_dataset, run_finetune
+from transfer_ablation_shapes import (
+    SIZE,
+    make_constellation_dataset,
+    make_dataset,
+    run_finetune,
+)
 
 
 def pretrain(model: str, train_csv: str, out_dir: str, epochs: int,
@@ -72,7 +77,17 @@ def main():
     ap.add_argument("--workdir", default="/tmp/csmae_transfer_positive")
     ap.add_argument("--n_per_class", type=int, default=12500,
                     help="images per class (1/5 go to val): default gives "
-                         "40k unlabeled train images")
+                         "40k unlabeled train images (shapes); for "
+                         "--dataset constellations use ~800 for the same "
+                         "total")
+    ap.add_argument("--dataset", default="shapes",
+                    choices=["shapes", "constellations"],
+                    help="shapes = 4 configuration classes (the §8b "
+                         "protocol); constellations = --n_classes fixed "
+                         "dot constellations (the §8c protocol: honest "
+                         "NT-Xent negatives pool, VERDICT r4 §next-6)")
+    ap.add_argument("--n_classes", type=int, default=62,
+                    help="constellation class count (fMoW's label space)")
     ap.add_argument("--epochs", type=int, default=60,
                     help="pretrain epochs (60 x ~312 steps = ~19k steps at "
                          "bs 128 over 40k images)")
@@ -125,6 +140,9 @@ def main():
     marker = os.path.join(args.workdir, "ready.json")
     if args.reuse and os.path.exists(marker):
         meta = json.load(open(marker))
+        assert meta.get("dataset", "shapes") == args.dataset, (
+            f"--reuse across dataset kinds ({meta.get('dataset')} vs "
+            f"{args.dataset}) would confound the comparison")
         assert meta["data_seed"] == args.data_seed, (
             f"--reuse across data seeds ({meta['data_seed']} vs "
             f"{args.data_seed}) would confound the comparison")
@@ -137,9 +155,15 @@ def main():
 
         shutil.rmtree(args.workdir, ignore_errors=True)
         os.makedirs(args.workdir, exist_ok=True)
-        print(f"generating {4 * args.n_per_class} images ...", flush=True)
-        train_csv, val_csv, n_train, n_val = make_dataset(
-            data, n_per_class=args.n_per_class, seed=args.data_seed)
+        ncls = 4 if args.dataset == "shapes" else args.n_classes
+        print(f"generating {ncls * args.n_per_class} images ...", flush=True)
+        if args.dataset == "shapes":
+            train_csv, val_csv, n_train, n_val = make_dataset(
+                data, n_per_class=args.n_per_class, seed=args.data_seed)
+        else:
+            train_csv, val_csv, n_train, n_val = make_constellation_dataset(
+                data, n_classes=args.n_classes,
+                n_per_class=args.n_per_class, seed=args.data_seed)
         print(f"dataset: {n_train} train / {n_val} val", flush=True)
         ckpts = {}
         for model in ("mae_vit_tiny_MsLd", "mae_vit_tiny_MsLdCeCd"):
@@ -149,8 +173,11 @@ def main():
                 seed=args.data_seed,
             )
         with open(marker, "w") as f:
-            json.dump({"data_seed": args.data_seed, "train_csv": train_csv,
-                       "val_csv": val_csv, "ckpts": ckpts}, f)
+            json.dump({"data_seed": args.data_seed, "dataset": args.dataset,
+                       "train_csv": train_csv, "val_csv": val_csv,
+                       "ckpts": ckpts}, f)
+
+    nb_classes = 4 if args.dataset == "shapes" else args.n_classes
 
     inits = {
         "random": "",
@@ -221,7 +248,8 @@ def main():
                     ckpt, train_csv, eval_csv,
                     os.path.join(args.workdir, f"probe_{name}_s{seed}"),
                     args.probe_epochs, seed=seed,
-                    eval_interval=args.probe_eval_interval)
+                    eval_interval=args.probe_eval_interval,
+                    nb_classes=nb_classes)
                 record(*key, done[key])
             results["probe_full"][name].append(done[key])
             key = ("probe_low", name, seed)
@@ -231,7 +259,8 @@ def main():
                     os.path.join(args.workdir, f"probelow_{name}_s{seed}"),
                     args.probe_low_epochs, batch_size=64,
                     blr=args.probe_low_blr, seed=seed,
-                    eval_interval=max(args.probe_eval_interval * 4, 1))
+                    eval_interval=max(args.probe_eval_interval * 4, 1),
+                    nb_classes=nb_classes)
                 record(*key, done[key])
             results["probe_low"][name].append(done[key])
             key = ("ft_low", name, seed)
@@ -240,7 +269,8 @@ def main():
                     ckpt, low_csv, eval_csv,
                     os.path.join(args.workdir, f"ft_{name}_s{seed}"),
                     args.ft_epochs, blr=args.ft_blr, seed=seed,
-                    eval_interval=args.ft_eval_interval)
+                    eval_interval=args.ft_eval_interval,
+                    nb_classes=nb_classes)
                 record(*key, done[key])
             results["ft_low"][name].append(done[key])
 
@@ -253,7 +283,9 @@ def main():
             for name, v in by_init.items()
         }
     out = {
-        "n_unlabeled_train": 4 * args.n_per_class * 4 // 5,
+        "dataset": args.dataset,
+        "n_classes": nb_classes,
+        "n_unlabeled_train": nb_classes * args.n_per_class * 4 // 5,
         "pretrain_epochs": args.epochs,
         "ft_labels_per_class": args.ft_labels,
         "seeds": args.seeds,

@@ -46,10 +46,22 @@ def get_args_parser():
     p.add_argument("--noise_amount", default=0.1, type=float)
     p.add_argument("--out", default="./viz_out")
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--temporal_csv", default=None,
+                   help="fmow_temporal pairs CSV: adds a time-gap-stratified "
+                        "temporal-consistency report (viz/temporal.py) per "
+                        "model to the sweep output")
+    p.add_argument("--temporal_batch", default=32, type=int)
+    p.add_argument("--temporal_gap_buckets", default=[6, 12, 24], type=int,
+                   nargs="+", help="month edges for the gap buckets")
+    p.add_argument("--jax_platforms", default=None,
+                   help="pin jax.config.jax_platforms (e.g. 'cpu') before "
+                        "any device work")
     return p
 
 
 def main(args) -> dict:
+    if args.jax_platforms:
+        jax.config.update("jax_platforms", args.jax_platforms)
     mean, std = DATASET_STATS[args.dataset_type]
     models = {}
     for ckpt in args.ckpt:
@@ -86,6 +98,24 @@ def main(args) -> dict:
         noise_kinds=noise_kinds, noise_amount=args.noise_amount,
         mask_ratio=args.mask_ratio, seed=args.seed,
     )
+    if args.temporal_csv:
+        from cross_scale_mae_tpu.data import FmowTemporalDataset
+        from cross_scale_mae_tpu.viz import temporal_consistency_by_gap
+
+        any_cfg0 = next(iter(models.values()))[1]
+        tds = FmowTemporalDataset(
+            args.temporal_csv, canvas_size=any_cfg0.input_size
+        )
+        sweep["temporal_consistency"] = {
+            name: temporal_consistency_by_gap(
+                params, cfg, tds, batch_size=args.temporal_batch,
+                bucket_edges=tuple(args.temporal_gap_buckets),
+            )
+            for name, (params, cfg) in models.items()
+        }
+        with open(os.path.join(args.out, "temporal_gaps.json"), "w") as f:
+            json.dump(sweep["temporal_consistency"], f, indent=2)
+
     rank0_print(json.dumps(sweep, indent=2))
     with open(os.path.join(args.out, "metrics.json"), "w") as f:
         json.dump(sweep, f, indent=2)

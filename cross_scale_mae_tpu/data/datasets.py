@@ -384,10 +384,15 @@ class FmowTemporalDataset(Dataset):
 
     ``load`` returns a (2, S, S, C) uint8 stack — frame 0 is the anchor,
     frame 1 the cross-temporal view (the multi-scale pretrain objective
-    accepts it in place of the on-device crop, models/mae.py). Parsed
-    timestamp features live in ``self.timestamps`` (N, 2, 3) int32 with the
-    reference's ``parse_timestamp`` encoding: [year - min_year, month - 1,
-    hour] (util/datasets.py:287-292), min_year taken over both columns.
+    accepts it in place of the on-device crop, models/mae.py). Pairs are
+    re-ordered CHRONOLOGICALLY at construction (frame 0 = earlier capture)
+    regardless of CSV column order. Parsed timestamp features live in
+    ``self.timestamps`` (N, 2, 3) int32 with the reference's
+    ``parse_timestamp`` encoding: [year - min_year, month - 1, hour]
+    (util/datasets.py:287-292), min_year taken over both columns; consumed
+    by the frame ordering, ``time_gaps_months`` and the gap-stratified
+    temporal-consistency eval (viz/temporal.py, cli/evalviz
+    ``--temporal_csv``).
     """
 
     mean, std = FMOW_RGB_MEAN, FMOW_RGB_STD
@@ -423,6 +428,25 @@ class FmowTemporalDataset(Dataset):
             [[self.parse_timestamp(t) for t in pair] for pair in stamps],
             np.int32,
         ).reshape(len(rows), 2, 3)
+        # Chronological anchoring: frame 0 is always the EARLIER capture
+        # (deterministic anchor semantics for the cross-temporal objective;
+        # CSV column order is not trusted). Consumers: load() frame order,
+        # time_gaps_months(), and the gap-stratified consistency eval
+        # (viz/temporal.py).
+        for i in range(len(rows)):
+            if tuple(self.timestamps[i, 1]) < tuple(self.timestamps[i, 0]):
+                self.paths[i], self.paths2[i] = self.paths2[i], self.paths[i]
+                self.timestamps[i] = self.timestamps[i, ::-1]
+
+    def time_gaps_months(self) -> np.ndarray:
+        """(N,) int32 capture gap in whole months per pair (>= 0 — pairs are
+        chronologically ordered at construction; hour-of-day ignored).
+        Feeds the time-gap-stratified temporal-consistency eval
+        (viz/temporal.py) and its evalviz report."""
+        t = self.timestamps
+        return (
+            (t[:, 1, 0] - t[:, 0, 0]) * 12 + (t[:, 1, 1] - t[:, 0, 1])
+        ).astype(np.int32)
 
     @property
     def sample_shape(self) -> tuple[int, ...]:

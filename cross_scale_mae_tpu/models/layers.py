@@ -308,19 +308,28 @@ def _attention_flat(p: Params, xf: jnp.ndarray, n: int, l: int, num_heads: int,
                     impl: str) -> jnp.ndarray:
     """Attention on a flattened (N*L, D) activation (see run_blocks_flat).
 
-    Only the 'xla' and 'pallas' implementations are wired on this
-    (non-default) path; anything else must fail loudly — silently
+    Only the 'xla', 'pallas' and 'pallas_v3' implementations are wired on
+    this (non-default) path; anything else must fail loudly — silently
     computing scaled-dot-product for, say, 'linformer' would train a
     different model than requested (its projection params would sit
     unused with zero gradient)."""
-    if impl not in ("xla", "pallas"):
+    if impl not in ("xla", "pallas", "pallas_v3"):
         raise NotImplementedError(
-            f"flat_blocks supports attention_impl 'xla' or 'pallas', got "
-            f"{impl!r} — use the default (non-flat) block path for variant "
-            f"attentions"
+            f"flat_blocks supports attention_impl 'xla', 'pallas' or "
+            f"'pallas_v3', got {impl!r} — use the default (non-flat) block "
+            f"path for variant attentions"
         )
     d = xf.shape[-1]
     head_dim = d // num_heads
+    if impl == "pallas_v3":
+        # Natural-layout kernel on the flat carry: the qkv matmul runs on
+        # (N*L, D) unpadded; only the kernel call sees the (N, L, 3D)
+        # sequence layout (the flat design's contract — measured round 5,
+        # VALIDATION flat+v3 note).
+        from cross_scale_mae_tpu.ops.attention import mha_v3
+
+        qkv3 = linear(p["qkv"], xf).reshape(n, l, 3 * d)
+        return linear(p["proj"], mha_v3(qkv3, num_heads).reshape(n * l, d))
     qkv = linear(p["qkv"], xf).reshape(n, l, 3, num_heads, head_dim)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     if impl == "pallas":

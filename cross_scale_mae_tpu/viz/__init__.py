@@ -1,5 +1,6 @@
 """Qualitative evaluation / visualization harness."""
 
+from cross_scale_mae_tpu.viz.temporal import temporal_consistency_by_gap
 from cross_scale_mae_tpu.viz.recon import (
     add_noise,
     plot_reconstruction,
@@ -16,4 +17,5 @@ __all__ = [
     "prepare_model",
     "run_eval",
     "run_one_image",
+    "temporal_consistency_by_gap",
 ]

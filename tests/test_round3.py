@@ -41,6 +41,29 @@ def test_flat_blocks_matches_standard_path():
     )
 
 
+def test_flat_blocks_v3_matches_standard_path():
+    """Round 5 wires the v3 natural-layout Pallas kernel onto the flat
+    (N*L, D) carry (VERDICT r4 §weak-7: the two fastest paths were mutually
+    exclusive). Numerics must match the standard v3 path exactly — only
+    the layout around the kernel changes. (CPU: kernel in interpret mode.)"""
+    from cross_scale_mae_tpu.configs import get_mae_config
+    from cross_scale_mae_tpu.models import mae_init
+    from cross_scale_mae_tpu.models.mae import mae_forward_encoder
+
+    base = get_mae_config(
+        "mae_vit_tiny", input_size=16, patch_size=8, mask_ratio=0.0,
+        compute_dtype="float32", attention_impl="pallas_v3",
+    )
+    flat = base.replace(flat_blocks=True)
+    params, _ = mae_init(jax.random.key(0), base)
+    imgs = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 16, 16, 3)), jnp.float32
+    )
+    enc_a, _, _ = mae_forward_encoder(params, base, imgs, rng=jax.random.key(1))
+    enc_b, _, _ = mae_forward_encoder(params, flat, imgs, rng=jax.random.key(1))
+    np.testing.assert_allclose(np.asarray(enc_a), np.asarray(enc_b), atol=1e-5)
+
+
 def test_flat_blocks_rejects_unsupported_attention():
     from cross_scale_mae_tpu.configs import get_mae_config
     from cross_scale_mae_tpu.models import mae_init
@@ -48,7 +71,7 @@ def test_flat_blocks_rejects_unsupported_attention():
 
     cfg = get_mae_config(
         "mae_vit_tiny", input_size=16, patch_size=8,
-        compute_dtype="float32", attention_impl="pallas_v3",
+        compute_dtype="float32", attention_impl="linformer",
     ).replace(flat_blocks=True)
     params, _ = mae_init(jax.random.key(0), cfg)
     imgs = jnp.zeros((2, 16, 16, 3), jnp.float32)

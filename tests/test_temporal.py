@@ -63,6 +63,30 @@ class TestDataset:
         # Row 5: 2015-06-05T05 -> [1, 5, 5].
         np.testing.assert_array_equal(ds.timestamps[5, 0], [1, 5, 5])
 
+    def test_chronological_ordering(self, temporal_csv):
+        """Pairs are re-anchored so frame 0 is the EARLIER capture, whatever
+        the CSV column order — row 3 (2017-04 vs 2015-07) must swap."""
+        ds = FmowTemporalDataset(temporal_csv, canvas_size=24)
+        # Row 3's CSV order is reversed: timestamp=2017-04, timestamp2=2015-07.
+        assert ds.paths[3].endswith("img_03b.jpg")
+        assert ds.paths2[3].endswith("img_03a.jpg")
+        # Row 0 (2014-01 vs 2015-07) keeps CSV order.
+        assert ds.paths[0].endswith("img_00a.jpg")
+        # After ordering every pair is non-decreasing in time.
+        t = ds.timestamps
+        assert np.all(
+            (t[:, 1, 0] > t[:, 0, 0])
+            | ((t[:, 1, 0] == t[:, 0, 0]) & (t[:, 1, 1] >= t[:, 0, 1]))
+        )
+
+    def test_time_gaps_months(self, temporal_csv):
+        ds = FmowTemporalDataset(temporal_csv, canvas_size=24)
+        gaps = ds.time_gaps_months()
+        assert gaps.shape == (10,) and gaps.dtype == np.int32
+        assert np.all(gaps >= 0)
+        assert gaps[0] == 18  # 2014-01 -> 2015-07
+        assert gaps[3] == 21  # 2015-07 -> 2017-04 (swapped row)
+
     def test_missing_column_errors(self, temporal_csv, tmp_path):
         bad = tmp_path / "bad.csv"
         bad.write_text("category,image_path,timestamp\n0,x.jpg,2014-01-01\n")
@@ -153,6 +177,58 @@ class TestTemporalObjective:
         pair = jnp.zeros((2, 2, 16, 16, 3))
         with pytest.raises(ValueError, match="multi-scale"):
             mae_loss_fn(params, state, cfg, pair, jax.random.key(1))
+
+
+class TestTemporalConsistencyEval:
+    """viz/temporal.py: the timestamps' consumer (VERDICT r4 §next-7)."""
+
+    def _cfg(self):
+        return get_mae_config(
+            "mae_vit_tiny_MsLdCeCd", input_size=16, patch_size=8,
+            compute_dtype="float32",
+        )
+
+    def test_identical_pairs_cos_one(self, tmp_path):
+        """Pairs whose two frames are the same file must score cos == 1."""
+        from PIL import Image
+
+        from cross_scale_mae_tpu.viz import temporal_consistency_by_gap
+
+        rng = np.random.default_rng(0)
+        rows = ["category,image_path,image_path2,timestamp,timestamp2"]
+        for i in range(3):
+            Image.fromarray(
+                rng.integers(0, 256, (16, 16, 3), np.uint8)
+            ).save(tmp_path / f"s{i}.png")
+            rows.append(f"0,s{i}.png,s{i}.png,2014-0{i + 1}-01,2015-0{i + 1}-01")
+        csv = tmp_path / "same.csv"
+        csv.write_text("\n".join(rows) + "\n")
+        ds = FmowTemporalDataset(str(csv), canvas_size=16)
+
+        cfg = self._cfg()
+        params, _ = mae_init(jax.random.key(0), cfg)
+        rep = temporal_consistency_by_gap(params, cfg, ds, batch_size=2)
+        assert rep["overall"]["n"] == 3
+        assert rep["overall"]["mean_cos"] == pytest.approx(1.0, abs=1e-5)
+        assert rep["gap_months"] == {"min": 12, "median": 12.0, "max": 12}
+
+    def test_report_structure_and_buckets(self, temporal_csv):
+        from cross_scale_mae_tpu.viz import temporal_consistency_by_gap
+
+        ds = FmowTemporalDataset(temporal_csv, canvas_size=24)
+        cfg = self._cfg()
+        params, _ = mae_init(jax.random.key(0), cfg)
+        rep = temporal_consistency_by_gap(
+            params, cfg, ds, batch_size=4, bucket_edges=(12, 24)
+        )
+        assert rep["overall"]["n"] == 10
+        assert sum(b["n"] for b in rep["buckets"].values()) == 10
+        gaps = ds.time_gaps_months()
+        # bucket membership must follow the edges
+        expected_mid = int(((gaps >= 12) & (gaps < 24)).sum())
+        assert rep["buckets"]["12-23mo"]["n"] == expected_mid
+        for b in rep["buckets"].values():
+            assert -1.0 <= b["mean_cos"] <= 1.0
 
 
 @pytest.mark.slow
