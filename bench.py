@@ -133,6 +133,76 @@ def run_fused(n_steps: int = 10, batch_per_chip: int | None = None,
     return batch * n_steps / dt / n_chips
 
 
+def run_goodput(n_steps: int = 20, batch_per_chip: int | None = None,
+                workdir: str = "/tmp/csmae_goodput") -> dict:
+    """End-to-end GOODPUT: disk JPEGs -> loader decode (native C++ core when
+    built) -> device prefetch -> fused train step, sustained imgs/s/chip.
+
+    The device-only headline feeds a resident uint8 batch; real training
+    pays host decode too (the reference's #2 hot loop — CPU dataloader
+    workers, util/datasets.py:123-138). This leg measures the whole
+    pipeline at the flagship batch on THIS host, so the record carries the
+    host-core count: on a 1-core host the decode bound dominates and the
+    number reads as the host's ceiling, not the chip's (VALIDATION §2b).
+    """
+    import importlib.util
+    import os
+
+    import jax
+
+    from cross_scale_mae_tpu.data.datasets import FmowRgbDataset
+    from cross_scale_mae_tpu.data.loader import DataLoader, device_prefetch
+    from cross_scale_mae_tpu.ops.augment import make_pretrain_augment
+    from cross_scale_mae_tpu.parallel import batch_sharding
+    from cross_scale_mae_tpu.train.pretrain import make_pretrain_step
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_loader",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "benchmarks", "bench_loader.py"),
+    )
+    bench_loader = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench_loader)
+
+    cfg, tcfg, schedule, mesh, state, _imgs, batch, n_chips = _setup(
+        batch_per_chip=batch_per_chip
+    )
+    csv = bench_loader.make_corpus(os.path.join(workdir, "data"), 4096)
+    ds = FmowRgbDataset(csv, canvas_size=128)
+    augment = make_pretrain_augment(
+        ds.mean, ds.std, cfg.input_size, dtype=cfg.compute_dtype
+    )
+    step = make_pretrain_step(cfg, tcfg, schedule, donate=True, augment=augment)
+    sharding = batch_sharding(mesh)
+    rng = jax.random.key(1)
+    threads = max(2, os.cpu_count() or 2)
+    loader = DataLoader(ds, batch, num_threads=threads)
+
+    def stream():
+        ep = 0
+        while True:
+            yield from device_prefetch(loader.epoch(ep), sharding)
+            ep += 1
+
+    it = stream()
+    for _ in range(3):  # compile + 2 steady steps + page-cache warm
+        imgs_b, _lab = next(it)
+        state, metrics = step(state, imgs_b, rng)
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        imgs_b, _lab = next(it)
+        state, metrics = step(state, imgs_b, rng)
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return {
+        "goodput_imgs_per_sec_per_chip": round(batch * n_steps / dt / n_chips, 2),
+        "goodput_host_cores": os.cpu_count(),
+        "goodput_native_loader": loader._native is not None,
+    }
+
+
 def run_ref_proxy(n_steps: int = 10, batch_per_chip: int | None = None) -> float:
     """Reference-semantics mode, measured (see module docstring)."""
     import jax
@@ -220,36 +290,83 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--skip_proxy", action="store_true",
                    help="headline number only (faster; proxy recompiles)")
+    p.add_argument("--skip_exact", action="store_true",
+                   help="skip the strict-parity exact-GELU measurement")
+    p.add_argument("--skip_goodput", action="store_true",
+                   help="skip the disk->decode->step goodput measurement")
     p.add_argument("--batch_per_chip", type=int, default=None,
                    help="override the per-chip batch (default 384, the "
                         "measured knee; floors in benchmarks/expected.json "
                         "are recorded at that default)")
+    p.add_argument("--adam_mu_dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="moment-dtype experiment on the headline leg "
+                        "(VALIDATION §5); record carries the setting")
+    p.add_argument("--adam_nu_dtype", default=None,
+                   choices=["float32", "bfloat16"])
     args = p.parse_args()
 
-    per_chip = run_fused(args.steps, args.batch_per_chip)
+    per_chip = run_fused(args.steps, args.batch_per_chip,
+                         adam_mu_dtype=args.adam_mu_dtype,
+                         adam_nu_dtype=args.adam_nu_dtype)
     result = _headline(per_chip)
+    if args.adam_mu_dtype or args.adam_nu_dtype:
+        result["adam_mu_dtype"] = args.adam_mu_dtype or "float32"
+        result["adam_nu_dtype"] = args.adam_nu_dtype or "float32"
     # Crash-safety (round-3 lesson, VERDICT r3 §weak-1): the round-3 driver
     # record was LOST because a transient axon FailedPrecondition in the
     # proxy leg crashed the process after the headline was already measured.
     # Print+flush the headline record FIRST so it exists no matter what the
-    # proxy leg does; the proxy gets one retry on any exception, and a
-    # failure downgrades gracefully to the headline-only record.
+    # later legs do; each later leg gets one retry on any exception, and a
+    # failure downgrades gracefully to the record built so far. The last
+    # stdout line is always the fullest valid record.
     print(json.dumps(result), flush=True)
 
-    proxy = None
-    if not args.skip_proxy:
-        for attempt in (1, 2):
+    def attempt(name, fn):
+        for i in (1, 2):
             try:
-                proxy = run_ref_proxy(args.steps)
-                break
+                return fn()
             except Exception as e:
-                print(f"proxy leg attempt {attempt} failed: {e!r}",
+                print(f"{name} leg attempt {i} failed: {e!r}",
                       file=sys.stderr, flush=True)
-    if proxy is not None:
-        result["baseline_measured_proxy"] = round(proxy, 2)
-        result["vs_ref_proxy"] = round(per_chip / proxy, 3)
-        # The last stdout line is always the fullest valid record.
-        print(json.dumps(result), flush=True)
+        return None
+
+    if not args.skip_exact:
+        # Strict-parity numerics (VERDICT r4 §next-2): the reference/timm
+        # GELU is exact-erf (MAE_ViT_Baseline.py:160-188 timm Block); the
+        # headline's tanh approximation is a deliberate TPU numerics
+        # deviation. Record BOTH so "matching-or-beating" survives exact
+        # numerics.
+        exact = attempt("exact-gelu", lambda: run_fused(
+            args.steps, args.batch_per_chip, gelu="exact",
+            adam_mu_dtype=args.adam_mu_dtype,
+            adam_nu_dtype=args.adam_nu_dtype,
+        ))
+        if exact is not None:
+            result["value_exact_gelu"] = round(exact, 2)
+            result["vs_baseline_exact"] = round(
+                exact / BASELINE_REF_IMGS_PER_SEC_PER_CHIP, 3
+            )
+            if "mfu" in result:
+                result["mfu_exact"] = round(
+                    result["mfu"] * exact / per_chip, 4
+                )
+            print(json.dumps(result), flush=True)
+
+    if not args.skip_goodput:
+        good = attempt("goodput", lambda: run_goodput(
+            max(args.steps, 20), args.batch_per_chip
+        ))
+        if good is not None:
+            result.update(good)
+            print(json.dumps(result), flush=True)
+
+    if not args.skip_proxy:
+        proxy = attempt("proxy", lambda: run_ref_proxy(args.steps))
+        if proxy is not None:
+            result["baseline_measured_proxy"] = round(proxy, 2)
+            result["vs_ref_proxy"] = round(per_chip / proxy, 3)
+            print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

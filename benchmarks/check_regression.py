@@ -58,6 +58,11 @@ def main():
         bench.run_fused()
     )
     if args.all:
+        # Strict reference-parity numerics (exact-erf GELU) — the second
+        # headline number BENCH records carry from round 5 on.
+        measured["pretrain_exact_gelu_vitb_msldcecd_128px"] = bench.run_fused(
+            gelu="exact"
+        )
         from all_configs import bench_classify, bench_pretrain
 
         measured["baseline_vitb16_224px"] = bench_pretrain(

@@ -119,6 +119,61 @@ def lars(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+# ------------------------------------------------- Adam with moment dtypes
+
+
+class ScaleByAdamState(NamedTuple):
+    count: jnp.ndarray
+    mu: Params
+    nu: Params
+
+
+def scale_by_adam_moment_dtypes(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    mu_dtype: Optional[str] = None,
+    nu_dtype: Optional[str] = None,
+) -> optax.GradientTransformation:
+    """optax ``scale_by_adam`` semantics with independently castable moments.
+
+    optax only exposes ``mu_dtype``; the second moment is the larger HBM
+    stream in the fused optimizer pass (read+write of ν every step), so the
+    bf16-ν experiment (VALIDATION §5, VERDICT r4 §next-3) needs this.
+    Moments are upcast to the gradient dtype for the update math (all
+    arithmetic in fp32 for fp32 params) and cast back for storage — the only
+    numerics change vs optax is the storage rounding of each moment.
+    Equivalence at fp32/fp32 is pinned by tests/test_optimizer_moments.py.
+    """
+    mu_dt = jnp.dtype(mu_dtype) if mu_dtype else None
+    nu_dt = jnp.dtype(nu_dtype) if nu_dtype else None
+
+    def init_fn(params):
+        mu = jax.tree.map(lambda p: jnp.zeros_like(p, dtype=mu_dt or p.dtype), params)
+        nu = jax.tree.map(lambda p: jnp.zeros_like(p, dtype=nu_dt or p.dtype), params)
+        return ScaleByAdamState(jnp.zeros([], jnp.int32), mu, nu)
+
+    def update_fn(updates, state, params=None):
+        count = state.count + 1
+        mu32 = jax.tree.map(
+            lambda g, m: b1 * m.astype(g.dtype) + (1 - b1) * g, updates, state.mu
+        )
+        nu32 = jax.tree.map(
+            lambda g, v: b2 * v.astype(g.dtype) + (1 - b2) * jnp.square(g),
+            updates, state.nu,
+        )
+        b1c = 1 - jnp.asarray(b1, jnp.float32) ** count
+        b2c = 1 - jnp.asarray(b2, jnp.float32) ** count
+        new_updates = jax.tree.map(
+            lambda m, v: (m / b1c) / (jnp.sqrt(v / b2c) + eps), mu32, nu32
+        )
+        mu = jax.tree.map(lambda m: m.astype(mu_dt) if mu_dt else m, mu32)
+        nu = jax.tree.map(lambda v: v.astype(nu_dt) if nu_dt else v, nu32)
+        return new_updates, ScaleByAdamState(count, mu, nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 # ----------------------------------------------------------- layer decay
 
 
@@ -181,6 +236,7 @@ def build_optimizer(
     lars_trust_coefficient: float = 0.001,
     frozen_mask: Optional[Params] = None,
     mu_dtype: Optional[str] = None,
+    nu_dtype: Optional[str] = None,
 ) -> optax.GradientTransformation:
     """Assemble the full update rule used by the three entry points.
 
@@ -188,21 +244,33 @@ def build_optimizer(
     freeze-all-but-head (main_linprobe.py:521-525) via ``optax.masked``.
 
     ``mu_dtype='bfloat16'`` stores Adam's first moment in bf16 (halves its
-    HBM; the second moment stays fp32 — its dynamic range is the sensitive
-    one). Off by default: it is a numerics change vs the reference's fp32
-    torch.optim.AdamW.
+    HBM); ``nu_dtype='bfloat16'`` the second moment (the riskier one — its
+    dynamic range carries the adaptive scaling; divergence bounded by
+    tests/test_optimizer_moments.py). Both off by default: they are a
+    numerics change vs the reference's fp32 torch.optim.AdamW.
     """
     chain = []
     if clip_grad is not None:
         chain.append(optax.clip_by_global_norm(clip_grad))
     if optimizer == "adamw":
         mask = wd_mask(params, extra_no_decay=no_decay_names)
-        chain.append(
-            optax.adamw(
-                learning_rate=schedule, b1=b1, b2=b2, eps=1e-8,
-                weight_decay=weight_decay, mask=mask, mu_dtype=mu_dtype,
+        if nu_dtype is not None:
+            # optax.adamw has no nu_dtype; same chain, our scale_by_adam.
+            chain.extend([
+                scale_by_adam_moment_dtypes(
+                    b1=b1, b2=b2, eps=1e-8,
+                    mu_dtype=mu_dtype, nu_dtype=nu_dtype,
+                ),
+                optax.add_decayed_weights(weight_decay, mask),
+                optax.scale_by_learning_rate(schedule),
+            ])
+        else:
+            chain.append(
+                optax.adamw(
+                    learning_rate=schedule, b1=b1, b2=b2, eps=1e-8,
+                    weight_decay=weight_decay, mask=mask, mu_dtype=mu_dtype,
+                )
             )
-        )
     elif optimizer == "lars":
         chain.append(
             lars(

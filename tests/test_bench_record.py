@@ -16,10 +16,21 @@ import sys
 import pytest
 
 
-def _run_main(monkeypatch, capsys, proxy_behavior, argv=("bench.py",)):
+def _run_main(monkeypatch, capsys, proxy_behavior, argv=("bench.py",),
+              fused=None, goodput=None):
     import bench
 
-    monkeypatch.setattr(bench, "run_fused", lambda *a, **k: 2400.0)
+    monkeypatch.setattr(
+        bench, "run_fused", fused or (lambda *a, **k: 2400.0)
+    )
+    monkeypatch.setattr(
+        bench, "run_goodput",
+        goodput or (lambda *a, **k: {
+            "goodput_imgs_per_sec_per_chip": 500.0,
+            "goodput_host_cores": 1,
+            "goodput_native_loader": True,
+        }),
+    )
     monkeypatch.setattr(bench, "run_ref_proxy", proxy_behavior)
     monkeypatch.setattr(sys, "argv", list(argv))
     bench.main()
@@ -71,6 +82,7 @@ def test_headline_printed_before_proxy_runs(monkeypatch, capsys):
         raise RuntimeError("die after checking")
 
     monkeypatch.setattr(bench, "run_fused", lambda *a, **k: 2400.0)
+    monkeypatch.setattr(bench, "run_goodput", lambda *a, **k: {})
     monkeypatch.setattr(bench, "run_ref_proxy", proxy_checks_stdout)
     monkeypatch.setattr(sys, "argv", ["bench.py"])
     bench.main()
@@ -81,9 +93,65 @@ def test_skip_proxy_single_record(monkeypatch, capsys):
     def never(*a, **k):  # pragma: no cover - must not be called
         raise AssertionError("proxy must not run with --skip_proxy")
 
-    records = _run_main(monkeypatch, capsys, never,
-                        argv=("bench.py", "--skip_proxy"))
+    records = _run_main(
+        monkeypatch, capsys, never,
+        argv=("bench.py", "--skip_proxy", "--skip_exact", "--skip_goodput"),
+    )
     assert len(records) == 1
+
+
+def test_exact_gelu_leg_recorded(monkeypatch, capsys):
+    """VERDICT r4 §next-2: BENCH records must carry BOTH numerics — the
+    tanh-GELU headline AND the strict reference-parity exact-erf run."""
+    calls = []
+
+    def fused(steps, bpc, gelu="tanh", **kw):
+        calls.append(gelu)
+        return 2400.0 if gelu == "tanh" else 2100.0
+
+    records = _run_main(
+        monkeypatch, capsys, lambda *a, **k: 1600.0, fused=fused,
+    )
+    assert calls == ["tanh", "exact"]
+    last = records[-1]
+    assert last["value"] == 2400.0
+    assert last["value_exact_gelu"] == 2100.0
+    assert last["vs_baseline_exact"] == pytest.approx(2100.0 / 380.0, abs=1e-3)
+    if "mfu" in last:
+        assert last["mfu_exact"] == pytest.approx(
+            last["mfu"] * 2100.0 / 2400.0, abs=1e-3
+        )
+
+
+def test_exact_gelu_leg_crash_downgrades(monkeypatch, capsys):
+    """A crash in the exact leg must not lose the headline record."""
+
+    def fused(steps, bpc, gelu="tanh", **kw):
+        if gelu == "exact":
+            raise RuntimeError("axon fault")
+        return 2400.0
+
+    records = _run_main(
+        monkeypatch, capsys, lambda *a, **k: 1600.0, fused=fused,
+        argv=("bench.py", "--skip_goodput"),
+    )
+    last = records[-1]
+    assert last["value"] == 2400.0
+    assert "value_exact_gelu" not in last
+    assert last["baseline_measured_proxy"] == 1600.0
+
+
+def test_goodput_leg_recorded(monkeypatch, capsys):
+    """VERDICT r4 §next-5: input-pipeline goodput recorded beside the
+    device-only number, with the host-core count for context."""
+    records = _run_main(
+        monkeypatch, capsys, lambda *a, **k: 1600.0,
+        argv=("bench.py", "--skip_exact"),
+    )
+    last = records[-1]
+    assert last["goodput_imgs_per_sec_per_chip"] == 500.0
+    assert last["goodput_host_cores"] == 1
+    assert last["value"] == 2400.0  # headline unchanged by the goodput leg
 
 
 def test_analytic_flops_match_documented_step_cost():
