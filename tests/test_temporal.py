@@ -6,6 +6,7 @@ repaired implementation (data/datasets.FmowTemporalDataset) and its
 integration as the multi-scale objective's second view (models/mae.py).
 """
 
+import json
 import os
 
 import jax
@@ -211,6 +212,36 @@ class TestTemporalConsistencyEval:
         assert rep["overall"]["n"] == 3
         assert rep["overall"]["mean_cos"] == pytest.approx(1.0, abs=1e-5)
         assert rep["gap_months"] == {"min": 12, "median": 12.0, "max": 12}
+
+    def test_evalviz_cli_temporal_report(self, temporal_csv, tmp_path):
+        """--temporal_csv end-to-end: checkpoint -> evalviz -> sweep entry
+        + temporal_gaps.json on disk (cli/evalviz.py:101-117)."""
+        from cross_scale_mae_tpu.cli import evalviz
+        from cross_scale_mae_tpu.train import TrainState, build_optimizer
+        from cross_scale_mae_tpu.utils.checkpoint import save_checkpoint
+
+        cfg = self._cfg()
+        params, mstate = mae_init(jax.random.key(0), cfg)
+        state = TrainState.create(
+            params, mstate, build_optimizer(params, lambda s: 1e-3)
+        )
+        ckpt = str(tmp_path / "run" / "checkpoints")
+        save_checkpoint(ckpt, 0, state, config_json=cfg.to_json())
+
+        out = str(tmp_path / "viz")
+        args = evalviz.get_args_parser().parse_args([
+            "--ckpt", ckpt, "--metrics", "mse", "--out", out,
+            "--temporal_csv", temporal_csv, "--temporal_batch", "4",
+            "--temporal_gap_buckets", "12", "24",
+        ])
+        sweep = evalviz.main(args)
+        (report,) = sweep["temporal_consistency"].values()
+        assert report["overall"]["n"] == 10
+        assert sum(b["n"] for b in report["buckets"].values()) == 10
+        on_disk = json.load(
+            open(os.path.join(out, "temporal_gaps.json"))
+        )
+        assert on_disk == sweep["temporal_consistency"]
 
     def test_report_structure_and_buckets(self, temporal_csv):
         from cross_scale_mae_tpu.viz import temporal_consistency_by_gap
