@@ -134,7 +134,9 @@ def run_fused(n_steps: int = 10, batch_per_chip: int | None = None,
 
 
 def run_goodput(n_steps: int = 20, batch_per_chip: int | None = None,
-                workdir: str = "/tmp/csmae_goodput") -> dict:
+                workdir: str = "/tmp/csmae_goodput",
+                adam_mu_dtype: str | None = None,
+                adam_nu_dtype: str | None = None) -> dict:
     """End-to-end GOODPUT: disk JPEGs -> loader decode (native C++ core when
     built) -> device prefetch -> fused train step, sustained imgs/s/chip.
 
@@ -165,7 +167,11 @@ def run_goodput(n_steps: int = 20, batch_per_chip: int | None = None,
     spec.loader.exec_module(bench_loader)
 
     cfg, tcfg, schedule, mesh, state, _imgs, batch, n_chips = _setup(
-        batch_per_chip=batch_per_chip
+        batch_per_chip=batch_per_chip,
+        # Follow the headline leg's optimizer dtypes: this leg's numbers
+        # merge into the same record, so its conditions must match what the
+        # record states.
+        adam_mu_dtype=adam_mu_dtype, adam_nu_dtype=adam_nu_dtype,
     )
     csv = bench_loader.make_corpus(os.path.join(workdir, "data"), 4096)
     ds = FmowRgbDataset(csv, canvas_size=128)
@@ -355,7 +361,9 @@ def main():
 
     if not args.skip_goodput:
         good = attempt("goodput", lambda: run_goodput(
-            max(args.steps, 20), args.batch_per_chip
+            max(args.steps, 20), args.batch_per_chip,
+            adam_mu_dtype=args.adam_mu_dtype,
+            adam_nu_dtype=args.adam_nu_dtype,
         ))
         if good is not None:
             result.update(good)

@@ -118,8 +118,11 @@ def main():
         "b512_unroll_pallas3": (base.replace(scan_blocks=False, attention_impl="pallas_v3"), 512),
         # flat+v3 (round 5): the two fastest layouts combined — flat (N*L,D)
         # carry for LN/residual/MLP, natural-layout kernel for attention.
+        # (No unroll twin: run_blocks_flat always lax.scans — scan_blocks
+        # has no effect on the flat path, a second variant would re-measure
+        # the identical program.) Measured: loses 29% at b64, compiler
+        # crash at b384 — VALIDATION §2 negative results.
         "b384_flat_pallas3": (base.replace(flat_blocks=True, attention_impl="pallas_v3"), 384),
-        "b384_flat_unroll_pallas3": (base.replace(flat_blocks=True, scan_blocks=False, attention_impl="pallas_v3"), 384),
     }
     if args.variants:
         variants = {k: v for k, v in variants.items() if k in args.variants}

@@ -146,6 +146,19 @@ def main():
         assert meta["data_seed"] == args.data_seed, (
             f"--reuse across data seeds ({meta['data_seed']} vs "
             f"{args.data_seed}) would confound the comparison")
+        # Pin the label-space/corpus shape too: a reused constellation
+        # corpus with a different --n_classes would silently mismatch the
+        # probe/finetune head size (out-of-range labels can never be
+        # predicted), and a different --n_per_class mislabels
+        # n_unlabeled_train in the record. (.get: markers written before
+        # these keys existed stay usable at their own defaults.)
+        if args.dataset == "constellations":
+            assert meta.get("n_classes", args.n_classes) == args.n_classes, (
+                f"--reuse across class counts ({meta.get('n_classes')} vs "
+                f"{args.n_classes}) would size the heads wrong")
+        assert meta.get("n_per_class", args.n_per_class) == args.n_per_class, (
+            f"--reuse across corpus sizes ({meta.get('n_per_class')} vs "
+            f"{args.n_per_class}) would misreport n_unlabeled_train")
         train_csv, val_csv = meta["train_csv"], meta["val_csv"]
         ckpts = meta["ckpts"]
         print(f"reusing dataset + checkpoints from {args.workdir}",
@@ -174,6 +187,7 @@ def main():
             )
         with open(marker, "w") as f:
             json.dump({"data_seed": args.data_seed, "dataset": args.dataset,
+                       "n_classes": ncls, "n_per_class": args.n_per_class,
                        "train_csv": train_csv, "val_csv": val_csv,
                        "ckpts": ckpts}, f)
 

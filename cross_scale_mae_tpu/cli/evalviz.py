@@ -71,6 +71,25 @@ def main(args) -> dict:
         )
     any_cfg = next(iter(models.values()))[1]
 
+    # Build the temporal datasets up front: fails fast on a bad/empty pairs
+    # CSV before any reconstruction work, and decodes ONE dataset per
+    # distinct model input size — decoding every pair at the first model's
+    # resolution would score the other models on wrongly-resampled frames.
+    tds_by_size = {}
+    if args.temporal_csv:
+        from cross_scale_mae_tpu.data import FmowTemporalDataset
+
+        for _, cfg in models.values():
+            if cfg.input_size not in tds_by_size:
+                tds = FmowTemporalDataset(
+                    args.temporal_csv, canvas_size=cfg.input_size
+                )
+                if len(tds) == 0:
+                    raise SystemExit(
+                        f"--temporal_csv {args.temporal_csv}: no pair rows"
+                    )
+                tds_by_size[cfg.input_size] = tds
+
     if args.images:
         images = [prepare_image(p, any_cfg, mean, std) for p in args.images]
     else:
@@ -99,16 +118,12 @@ def main(args) -> dict:
         mask_ratio=args.mask_ratio, seed=args.seed,
     )
     if args.temporal_csv:
-        from cross_scale_mae_tpu.data import FmowTemporalDataset
         from cross_scale_mae_tpu.viz import temporal_consistency_by_gap
 
-        any_cfg0 = next(iter(models.values()))[1]
-        tds = FmowTemporalDataset(
-            args.temporal_csv, canvas_size=any_cfg0.input_size
-        )
         sweep["temporal_consistency"] = {
             name: temporal_consistency_by_gap(
-                params, cfg, tds, batch_size=args.temporal_batch,
+                params, cfg, tds_by_size[cfg.input_size],
+                batch_size=args.temporal_batch,
                 bucket_edges=tuple(args.temporal_gap_buckets),
             )
             for name, (params, cfg) in models.items()

@@ -82,7 +82,11 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--adam_mu_dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="dtype of Adam's first moment (bfloat16 halves its "
-                        "HBM; second moment stays fp32). Default fp32 = "
+                        "HBM). Default fp32 = reference numerics")
+    p.add_argument("--adam_nu_dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="dtype of Adam's second moment (train/optim."
+                        "scale_by_adam_moment_dtypes). Default fp32 = "
                         "reference numerics")
     # Augmentation (main_finetune.py:188-268)
     p.add_argument("--smoothing", default=0.1, type=float)
@@ -338,7 +342,7 @@ def main(args) -> dict:
         b1=0.9, b2=0.999, clip_grad=args.clip_grad,
         layer_decay=args.layer_decay, depth=vcfg.depth,
         no_decay_names=("pos_embed", "cls_token"),  # timm no_weight_decay
-        mu_dtype=args.adam_mu_dtype,
+        mu_dtype=args.adam_mu_dtype, nu_dtype=args.adam_nu_dtype,
     )
     state = TrainState.create(params, mstate, tx)
     state = shard_train_state(

@@ -95,7 +95,12 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--adam_mu_dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="dtype of Adam's first moment (bfloat16 halves its "
-                        "HBM; second moment stays fp32). Default fp32 = "
+                        "HBM). Default fp32 = reference numerics")
+    p.add_argument("--adam_nu_dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="dtype of Adam's second moment (train/optim."
+                        "scale_by_adam_moment_dtypes; measured step-neutral "
+                        "on the flagship, VALIDATION §5a). Default fp32 = "
                         "reference numerics")
     p.add_argument("--ckpt_interval", default=25, type=int)
     p.add_argument("--plot_recon", action="store_true",
@@ -266,7 +271,7 @@ def main(args) -> dict:
     tx = build_optimizer(
         params, schedule, weight_decay=args.weight_decay,
         b1=tcfg.adam_b1, b2=tcfg.adam_b2, clip_grad=args.clip_grad,
-        mu_dtype=args.adam_mu_dtype,
+        mu_dtype=args.adam_mu_dtype, nu_dtype=args.adam_nu_dtype,
     )
     state = TrainState.create(params, mstate, tx)
     state = shard_train_state(

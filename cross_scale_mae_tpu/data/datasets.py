@@ -430,11 +430,21 @@ class FmowTemporalDataset(Dataset):
         ).reshape(len(rows), 2, 3)
         # Chronological anchoring: frame 0 is always the EARLIER capture
         # (deterministic anchor semantics for the cross-temporal objective;
-        # CSV column order is not trusted). Consumers: load() frame order,
+        # CSV column order is not trusted). Ordering compares the FULL
+        # (year, month, day, hour) — the stored reference-encoding features
+        # drop the day (util/datasets.py:287-292), which cannot anchor
+        # same-month pairs. Consumers: load() frame order,
         # time_gaps_months(), and the gap-stratified consistency eval
         # (viz/temporal.py).
+        def _order_key(stamp: str) -> tuple:
+            return (
+                int(stamp[:4]), int(stamp[5:7]),
+                int(stamp[8:10]) if len(stamp) >= 10 else 1,
+                int(stamp[11:13]) if len(stamp) >= 13 else 0,
+            )
+
         for i in range(len(rows)):
-            if tuple(self.timestamps[i, 1]) < tuple(self.timestamps[i, 0]):
+            if _order_key(stamps[i][1]) < _order_key(stamps[i][0]):
                 self.paths[i], self.paths2[i] = self.paths2[i], self.paths[i]
                 self.timestamps[i] = self.timestamps[i, ::-1]
 

@@ -62,6 +62,11 @@ def temporal_consistency_by_gap(
 
     gaps = dataset.time_gaps_months()
     n = len(dataset)
+    if n == 0:
+        raise ValueError(
+            "temporal_consistency_by_gap: the pairs CSV has no rows — "
+            "nothing to evaluate"
+        )
     cos = np.empty((n,), np.float32)
     for start in range(0, n, batch_size):
         idx = range(start, min(start + batch_size, n))

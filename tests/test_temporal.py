@@ -80,6 +80,30 @@ class TestDataset:
             | ((t[:, 1, 0] == t[:, 0, 0]) & (t[:, 1, 1] >= t[:, 0, 1]))
         )
 
+    def test_same_month_ordering_uses_day(self, tmp_path):
+        """Anchoring must compare the FULL date: the reference's
+        parse_timestamp encoding drops the day (util/datasets.py:287-292),
+        so a same-month pair whose later capture is earlier-in-CSV-order
+        (June 30 before June 1, hours reversed) would otherwise anchor on
+        the LATER frame."""
+        from PIL import Image
+
+        rng = np.random.default_rng(1)
+        for tag in "ab":
+            Image.fromarray(
+                rng.integers(0, 256, (16, 16, 3), np.uint8)
+            ).save(tmp_path / f"{tag}.png")
+        csv_p = tmp_path / "pairs.csv"
+        csv_p.write_text(
+            "category,image_path,image_path2,timestamp,timestamp2\n"
+            "0,a.png,b.png,2015-06-30T02:00:00,2015-06-01T20:00:00\n"
+        )
+        ds = FmowTemporalDataset(str(csv_p), canvas_size=16)
+        # June 1 (b.png) is the earlier capture despite its later hour.
+        assert ds.paths[0].endswith("b.png")
+        assert ds.paths2[0].endswith("a.png")
+        assert ds.time_gaps_months()[0] == 0
+
     def test_time_gaps_months(self, temporal_csv):
         ds = FmowTemporalDataset(temporal_csv, canvas_size=24)
         gaps = ds.time_gaps_months()
@@ -212,6 +236,19 @@ class TestTemporalConsistencyEval:
         assert rep["overall"]["n"] == 3
         assert rep["overall"]["mean_cos"] == pytest.approx(1.0, abs=1e-5)
         assert rep["gap_months"] == {"min": 12, "median": 12.0, "max": 12}
+
+    def test_empty_pairs_csv_fails_loud(self, tmp_path):
+        from cross_scale_mae_tpu.viz import temporal_consistency_by_gap
+
+        csv_p = tmp_path / "empty.csv"
+        csv_p.write_text(
+            "category,image_path,image_path2,timestamp,timestamp2\n"
+        )
+        ds = FmowTemporalDataset(str(csv_p), canvas_size=16)
+        cfg = self._cfg()
+        params, _ = mae_init(jax.random.key(0), cfg)
+        with pytest.raises(ValueError, match="no rows"):
+            temporal_consistency_by_gap(params, cfg, ds)
 
     def test_evalviz_cli_temporal_report(self, temporal_csv, tmp_path):
         """--temporal_csv end-to-end: checkpoint -> evalviz -> sweep entry

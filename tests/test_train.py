@@ -267,3 +267,25 @@ class TestMuDtype:
         np.testing.assert_allclose(
             np.asarray(u16["w"]), np.asarray(u32["w"]), rtol=1e-2, atol=1e-8
         )
+
+    def test_nu_dtype_reachable_from_pretrain_cli(self, tmp_path):
+        """--adam_nu_dtype must be a real training-CLI flag (not bench-only):
+        a tiny run through pretrain.main with both moments in bf16 trains
+        and checkpoints (the dtype behavior itself is pinned by
+        tests/test_optimizer_moments.py)."""
+        import os
+
+        from cross_scale_mae_tpu.cli import pretrain
+
+        args = pretrain.get_args_parser().parse_args([
+            "--model", "mae_vit_tiny_MsLd", "--dataset_type", "synthetic",
+            "--synthetic_len", "32", "--input_size", "16", "--patch_size",
+            "8", "--batch_size", "16", "--epochs", "1", "--warmup_epochs",
+            "0", "--ckpt_interval", "1", "--output_dir",
+            str(tmp_path / "pt"), "--compute_dtype", "float32",
+            "--adam_mu_dtype", "bfloat16", "--adam_nu_dtype", "bfloat16",
+            "--log_interval", "1",
+        ])
+        res = pretrain.main(args)
+        assert np.isfinite(res["last_metrics"]["loss"])
+        assert os.path.isdir(os.path.join(res["output_dir"], "checkpoints"))
