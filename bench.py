@@ -358,6 +358,23 @@ def main():
                     result["mfu"] * exact / per_chip, 4
                 )
             print(json.dumps(result), flush=True)
+        # Best strict-FORWARD-parity number: gelu='exact_tanhbwd' keeps the
+        # forward bit-identical to torch nn.GELU (exhaustively verified over
+        # all bf16 patterns) and swaps only the backward for the tanh-GELU
+        # derivative (within one bf16 ulp of the exact backward) — +7.3%
+        # over 'exact' (round 5, benchmarks/gelu_modes.py, VALIDATION 5b).
+        fastbwd = attempt("exact-tanhbwd", lambda: run_fused(
+            args.steps, args.batch_per_chip, gelu="exact_tanhbwd",
+            adam_mu_dtype=args.adam_mu_dtype,
+            adam_nu_dtype=args.adam_nu_dtype,
+        ))
+        if fastbwd is not None:
+            result["value_exact_tanhbwd"] = round(fastbwd, 2)
+            if "mfu" in result:
+                result["mfu_exact_tanhbwd"] = round(
+                    result["mfu"] * fastbwd / per_chip, 4
+                )
+            print(json.dumps(result), flush=True)
 
     if not args.skip_goodput:
         good = attempt("goodput", lambda: run_goodput(

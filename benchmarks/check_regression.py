@@ -63,6 +63,11 @@ def main():
         measured["pretrain_exact_gelu_vitb_msldcecd_128px"] = bench.run_fused(
             gelu="exact"
         )
+        # Strict FORWARD parity + tanh-derivative backward (round 5,
+        # benchmarks/gelu_modes.py): the fastest bit-exact-forward mode.
+        measured["pretrain_exact_tanhbwd_vitb_msldcecd_128px"] = (
+            bench.run_fused(gelu="exact_tanhbwd")
+        )
         from all_configs import bench_classify, bench_pretrain
 
         measured["baseline_vitb16_224px"] = bench_pretrain(

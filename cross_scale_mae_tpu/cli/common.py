@@ -68,9 +68,13 @@ def add_runtime_args(p: argparse.ArgumentParser):
              "(its defect #1) and is not carried",
     )
     g.add_argument(
-        "--gelu", default="tanh", choices=["tanh", "exact"],
-        help="GELU flavor: tanh (TPU-fast default) or exact (torch "
-             "nn.GELU bit-parity; ~15%% slower flagship step)",
+        "--gelu", default="tanh",
+        choices=["tanh", "exact", "exact_tanhbwd"],
+        help="GELU flavor: tanh (TPU-fast default), exact (torch nn.GELU "
+             "bit-parity; ~15%% slower flagship step), or exact_tanhbwd "
+             "(forward bit-identical to exact, tanh-derivative backward "
+             "within one bf16 ulp; +7%% flagship — "
+             "models/layers.gelu_exact_fastbwd)",
     )
     g.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace of steps 10-30 here")

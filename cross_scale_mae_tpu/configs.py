@@ -13,6 +13,11 @@ import json
 from dataclasses import dataclass
 from typing import Any, Mapping
 
+# GELU flavors (implemented in models/layers.py: mlp / gelu_exact_fastbwd).
+# 'tanh' = TPU-fast approximation; 'exact' = torch nn.GELU parity;
+# 'exact_tanhbwd' = bit-exact forward + tanh-derivative backward.
+GELU_MODES = ("tanh", "exact", "exact_tanhbwd")
+
 
 @dataclass(frozen=True)
 class ViTSize:
@@ -166,7 +171,7 @@ class MAEConfig:
         # rehydrating them as the new 'tanh' default would silently change
         # the activation under a resumed/evaluated checkpoint.
         d.setdefault("gelu", "exact")
-        if d["gelu"] not in ("tanh", "exact"):
+        if d["gelu"] not in GELU_MODES:
             raise ValueError(f"unknown gelu flavor {d['gelu']!r}")
         # Execution-layout detail, not model semantics (numerics are
         # identical with/without): rehydration consumers (viz, serving,
@@ -268,7 +273,7 @@ class ViTClassifierConfig:
     def from_json(cls, s: str) -> "ViTClassifierConfig":
         d = json.loads(s)
         d.setdefault("gelu", "exact")  # see MAEConfig.from_json
-        if d["gelu"] not in ("tanh", "exact"):
+        if d["gelu"] not in GELU_MODES:
             raise ValueError(f"unknown gelu flavor {d['gelu']!r}")
         d["sequence_parallel"] = False  # see MAEConfig.from_json
         return cls(**d)

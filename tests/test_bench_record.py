@@ -107,19 +107,24 @@ def test_exact_gelu_leg_recorded(monkeypatch, capsys):
 
     def fused(steps, bpc, gelu="tanh", **kw):
         calls.append(gelu)
-        return 2400.0 if gelu == "tanh" else 2100.0
+        return {"tanh": 2400.0, "exact": 2100.0, "exact_tanhbwd": 2200.0}[gelu]
 
     records = _run_main(
         monkeypatch, capsys, lambda *a, **k: 1600.0, fused=fused,
     )
-    assert calls == ["tanh", "exact"]
+    assert calls == ["tanh", "exact", "exact_tanhbwd"]
     last = records[-1]
     assert last["value"] == 2400.0
     assert last["value_exact_gelu"] == 2100.0
     assert last["vs_baseline_exact"] == pytest.approx(2100.0 / 380.0, abs=1e-3)
+    # round-5 third leg: fastest strict-FORWARD-parity mode
+    assert last["value_exact_tanhbwd"] == 2200.0
     if "mfu" in last:
         assert last["mfu_exact"] == pytest.approx(
             last["mfu"] * 2100.0 / 2400.0, abs=1e-3
+        )
+        assert last["mfu_exact_tanhbwd"] == pytest.approx(
+            last["mfu"] * 2200.0 / 2400.0, abs=1e-3
         )
 
 

@@ -26,7 +26,7 @@ AXES = {
     "global_pool": [False, True],
     "use_bn_head": [False, True],
     "drop_path_rate": [0.0, 0.2],
-    "gelu": ["tanh", "exact"],
+    "gelu": ["tanh", "exact", "exact_tanhbwd"],
     "scan_blocks": [True, False],
     "attention_impl": ["xla", "pallas", "local"],
     "freeze_backbone": [False, True],

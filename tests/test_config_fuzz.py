@@ -35,7 +35,7 @@ AXES = {
     # by tests/test_ssim_golden.py; keep the fuzz at pixel losses + bce.
     "loss": ["mse", "l2", "mae", "l1", "bce"],
     "norm_pix_loss": [False, True],
-    "gelu": ["tanh", "exact"],
+    "gelu": ["tanh", "exact", "exact_tanhbwd"],
     "scan_blocks": [True, False],
     "remat": [False, True],
     "ms_per_sample_crop": [True, False],

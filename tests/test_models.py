@@ -435,3 +435,68 @@ class TestAttentionImpls:
         )(q, k, v)
         for a, b in zip(g_ref, g_pal):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestGeluFastBwd:
+    """Fast-backward exact GELU (layers.gelu_exact_fastbwd, round 5).
+
+    The strict-parity flagship leg pays ~15% for exact-erf GELU; most of it
+    is the backward re-deriving the erf over the (N, L, 4D) activation.
+    ``gelu='exact_tanhbwd'`` keeps the forward BIT-IDENTICAL to
+    ``jax.nn.gelu(approximate=False)`` (torch nn.GELU / timm Block,
+    MAE_ViT_Baseline.py:160-188) and swaps only the backward for the
+    tanh-GELU derivative (+7.3% flagship, VALIDATION.md 5b).
+    Exhaustiveness note: bf16 has 65536 bit patterns, so forward
+    bit-exactness is checked on ALL of them, not a sample.
+    """
+
+    def test_forward_bit_exact_all_bf16(self):
+        from cross_scale_mae_tpu.models import layers
+
+        bits = np.arange(65536, dtype=np.uint16)
+        x = jnp.asarray(bits).view(jnp.bfloat16)
+        ref = jax.jit(lambda v: jax.nn.gelu(v, approximate=False))(x)
+        ref_nan = np.isnan(np.asarray(ref, np.float32))
+        out = jax.jit(layers.gelu_exact_fastbwd)(x)
+        assert np.array_equal(ref_nan, np.isnan(np.asarray(out, np.float32)))
+        mism = (
+            np.asarray(ref.view(jnp.uint16)) != np.asarray(out.view(jnp.uint16))
+        ) & ~ref_nan
+        assert int(mism.sum()) == 0, f"{int(mism.sum())} mismatches"
+
+    def test_backward_within_one_bf16_ulp(self):
+        from cross_scale_mae_tpu.models import layers
+
+        xs = jnp.asarray(np.linspace(-8, 8, 50001), jnp.bfloat16)
+        g_ref = jax.jit(
+            jax.grad(lambda v: jax.nn.gelu(v, approximate=False).sum())
+        )(xs)
+        g_new = jax.jit(
+            jax.grad(lambda v: layers.gelu_exact_fastbwd(v).sum())
+        )(xs)
+        dev = np.max(np.abs(
+            np.asarray(g_ref, np.float32) - np.asarray(g_new, np.float32)
+        ))
+        # measured max 2^-7 = one bf16 ulp at |grad|~1
+        assert dev <= 2 ** -7 + 1e-9, f"{dev}"
+
+    def test_model_plumbing_and_config_roundtrip(self):
+        from cross_scale_mae_tpu.configs import GELU_MODES, MAEConfig
+
+        imgs = make_imgs()
+        cfg = TINY.replace(gelu="exact_tanhbwd")
+        params, _mstate = mae_init(jax.random.key(0), cfg)
+        out = mae_apply(params, cfg, imgs, jax.random.key(1))
+        assert np.isfinite(float(out.loss))
+        # exact forward => loss identical to gelu='exact'
+        out_e = mae_apply(
+            params, TINY.replace(gelu="exact"), imgs, jax.random.key(1)
+        )
+        np.testing.assert_allclose(
+            float(out.loss), float(out_e.loss), rtol=0, atol=0
+        )
+        back = MAEConfig.from_json(cfg.to_json())
+        assert back.gelu == "exact_tanhbwd"
+        assert "exact_tanhbwd" in GELU_MODES
+        with pytest.raises(ValueError):
+            MAEConfig.from_json(TINY.replace(gelu="nope").to_json())
