@@ -9,8 +9,9 @@ recover some of it. Measured 2026-08-20, one v5e chip, b384, 10 steps:
                                             + one exp; the extra activation
                                             residual's HBM traffic + lost
                                             fusion cost more than the saved
-                                            erf recompute -> REVERTED, code
-                                            in git history)
+                                            erf recompute -> NOT CARRIED;
+                                            formula in the
+                                            gelu_exact_fastbwd docstring)
     exact_tanhbwd     2196.1  (+7.3%)      (tanh-GELU derivative backward;
                                             fwd bit-identical to exact, bwd
                                             within one bf16 ulp -> KEPT)

@@ -250,11 +250,12 @@ def gelu_exact_fastbwd(x: jnp.ndarray) -> jnp.ndarray:
     i.e. rounding-level for bf16 training. Flagship-measured on-chip
     (round 5): 2196 imgs/s/chip vs 2047 for 'exact' (+7.3%), recovering
     ~40% of the tanh<->exact gap at strict forward parity. A
-    'exact_savephi' variant (analytic backward from the SAVED forward
-    erfc + one exp) measured 2028 — the extra activation residual's HBM
-    traffic and lost fusion cost more than the saved erf recompute; code
-    in git history (commit with this note). Intended for bf16 training;
-    fp32 parity work should use 'exact' (autodiff backward).
+    'exact_savephi' variant (same fwd, but SAVE ``h`` as a residual and
+    differentiate analytically: ``d = 0.5*h + x*exp(-x^2/2)/sqrt(2*pi)``)
+    measured 2028 — the extra activation residual's HBM traffic and lost
+    fusion cost more than the saved erf recompute; not carried (formula
+    above suffices to reproduce). Intended for bf16 training; fp32 parity
+    work should use 'exact' (autodiff backward).
     """
     return jax.nn.gelu(x, approximate=False)
 
